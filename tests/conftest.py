@@ -1,0 +1,22 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding code
+paths are exercised without TPU hardware (the driver separately dry-runs the
+multichip path). Set platform/flags BEFORE jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
