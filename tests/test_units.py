@@ -78,7 +78,10 @@ def test_to_quantity_target():
     """Conversion to a Quantity target (used in the reference solver at
     tdgl/solver/solver.py:307, `.to(1 / length_units)`)."""
     length_units = ureg("um")
-    q = (ureg("mu_0") * ureg("uA/um") / ureg("mT")).to(1 / length_units)
+    # A_scale = mu_0 * K0 / A0 with K0 ~ uA/um and A0 ~ mT * um has dims 1/length
+    q = (ureg("mu_0") * ureg("uA/um") / (ureg("mT") * ureg("um"))).to(
+        1 / length_units
+    )
     assert q.dims == (-1, 0, 0, 0)
 
 
