@@ -1,0 +1,133 @@
+"""Device-resident linear solvers for the mu-Poisson equation.
+
+The reference caches a sparse LU factorization of the (fixed) mu-Laplacian
+and back-substitutes every step (``tdgl/finite_volume/operators.py:296-308``,
+``tdgl/solver/solver.py:504-518``). Sparse triangular solves are inherently
+sequential and have no efficient TPU mapping, so we solve the Poisson problem
+iteratively instead:
+
+* **Deflated, Jacobi-preconditioned conjugate gradients** on the symmetric
+  form ``S mu = diag(a) rhs`` (``S`` = area-unscaled Neumann FV Laplacian,
+  symmetric negative semidefinite with null space = constants).
+* Warm-started from the previous step's ``mu`` — under small dt the potential
+  changes slowly, so CG typically needs only a handful of iterations.
+* Fully traced: a ``lax.while_loop`` with static shapes, fusable into the
+  same XLA program as the rest of the TDGL step.
+
+The null-space (constant) component is projected out of the residual, which
+pins the arbitrary additive constant of ``mu``; only potential *differences*
+are physical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array  # scalar int
+    residual_norm: jax.Array  # scalar: final ||r|| / ||b||
+
+
+def _project_out_constant(v: jax.Array) -> jax.Array:
+    return v - jnp.mean(v)
+
+
+def cg_solve(
+    apply_A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    precond_inv_diag: Optional[jax.Array] = None,
+    tol: float = 1e-7,
+    maxiter: int = 500,
+    deflate_constant: bool = True,
+) -> CGResult:
+    """Preconditioned conjugate gradients with optional constant-mode deflation.
+
+    Args:
+        apply_A: SPD (or SPsD with constant null space) operator.
+        b: Right-hand side.
+        x0: Warm-start guess.
+        precond_inv_diag: Inverse-diagonal (Jacobi) preconditioner values.
+        tol: Relative residual tolerance ||r|| <= tol * ||b||.
+        maxiter: Iteration cap (static).
+        deflate_constant: Project the constant mode out of b, x, and r
+            (required for the pure-Neumann Poisson operator).
+    """
+    rdtype = b.dtype
+
+    def project(v):
+        return _project_out_constant(v) if deflate_constant else v
+
+    b = project(b)
+    x0 = project(x0)
+    b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    tol_sq = jnp.asarray(tol, rdtype) ** 2 * b_norm_sq
+
+    def M_inv(v):
+        if precond_inv_diag is None:
+            return v
+        return precond_inv_diag.astype(rdtype) * v
+
+    r0 = project(b - apply_A(x0))
+    z0 = M_inv(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(jnp.sum(r * r) > tol_sq, k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = apply_A(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), jnp.finfo(rdtype).tiny)
+        x = x + alpha * p
+        r = project(r - alpha * Ap)
+        z = M_inv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(rdtype).tiny)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, _, _, _, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.array(0, jnp.int32))
+    )
+    res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
+    return CGResult(project(x), k, res)
+
+
+def solve_mu_poisson(
+    op,
+    rhs: jax.Array,
+    mu_prev: jax.Array,
+    tol: float = 1e-7,
+    maxiter: int = 1000,
+) -> CGResult:
+    """Solve the scalar-potential Poisson equation ``L mu = rhs`` with
+    ``L = diag(1/a) S``.
+
+    Works on the symmetrized system ``(-S) mu = -diag(a) rhs`` (SPsD) with a
+    Jacobi preconditioner and warm start from the previous step's ``mu``.
+    """
+    from ..models.gtdgl import scalar_laplacian_sym
+
+    rdtype = rhs.dtype
+    areas = op.areas.astype(rdtype)
+
+    def apply_A(x):
+        return -scalar_laplacian_sym(op, x)
+
+    b = -(areas * rhs)
+    # Jacobi diagonal of -S: sum of edge weights per site.
+    diag = jnp.sum((op.w_lap * op.areas[:, None]).astype(rdtype), axis=1)
+    inv_diag = 1.0 / jnp.maximum(diag, jnp.finfo(rdtype).tiny)
+    return cg_solve(
+        apply_A, b, mu_prev, precond_inv_diag=inv_diag, tol=tol,
+        maxiter=maxiter, deflate_constant=True,
+    )
