@@ -208,10 +208,16 @@ def test_psi_update_relaxes_to_equilibrium(op):
     eps = jnp.ones(n)
     mu = jnp.zeros(n)
     err0 = float(jnp.abs(jnp.abs(psi) - 1).max())
-    for _ in range(200):
-        res = gtdgl.implicit_euler_psi(jop, U, psi, jnp.abs(psi) ** 2, mu,
-                                       eps, gamma=0.0, u=5.79, dt=0.5)
-        assert bool(res.ok)
+    # dt must respect the explicit-Laplacian diffusion limit dt ~< u h^2 / 4.
+    step = jax.jit(
+        lambda psi: gtdgl.implicit_euler_psi(
+            jop, U, psi, jnp.abs(psi) ** 2, mu, eps, gamma=0.0, u=5.79,
+            dt=0.02,
+        )
+    )
+    for _ in range(2500):
+        res = step(psi)
         psi = res.psi
+    assert bool(res.ok)
     err1 = float(jnp.abs(jnp.abs(psi) - 1).max())
     assert err1 < 1e-6 < err0
