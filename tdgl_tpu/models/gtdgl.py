@@ -165,7 +165,12 @@ def implicit_euler_psi(
     c = w.real * z.real + w.imag * z.imag
     two_c_1 = 2.0 * c + 1.0
     w2 = jnp.abs(w) ** 2
-    discriminant = two_c_1**2 - 4.0 * jnp.abs(z) ** 2 * w2
+    # The textbook discriminant (2c+1)^2 - 4|z|^2|w|^2 suffers catastrophic
+    # cancellation in float32 (both terms are O(gamma^4)). Using
+    # c^2 - |z|^2|w|^2 = Re(conj(w) z)^2 - |conj(w) z|^2 = -Im(conj(w) z)^2,
+    # it equals 1 + 4c - 4 Im(conj(w) z)^2 exactly — no large squares.
+    im_wz = w.real * z.imag - w.imag * z.real
+    discriminant = 1.0 + 4.0 * c - 4.0 * im_wz**2
     ok = jnp.all(discriminant >= 0.0)
     sqrt_disc = jnp.sqrt(jnp.maximum(discriminant, 0.0))
     new_sq = (2.0 * w2) / (two_c_1 + sqrt_disc)

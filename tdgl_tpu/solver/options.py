@@ -1,0 +1,150 @@
+"""Solver options.
+
+API parity with the reference ``tdgl/solver/options.py:19-166``, plus
+TPU-specific knobs (dtype, Poisson-CG tolerances, scan chunking). The
+reference's ``sparse_solver`` choices (SuperLU/UMFPACK/PARDISO/CuPy LU) do not
+exist here — the mu-Poisson equation is solved with device-resident CG — but
+the field is accepted for API compatibility.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional, Union
+
+
+class SolverOptionsError(ValueError):
+    pass
+
+
+class SparseSolver(Enum):
+    """Linear solver for the scalar-potential Poisson equation.
+
+    ``CG`` (the default, and the only TPU-native option) is a deflated,
+    Jacobi-preconditioned conjugate-gradient solve. The reference's LU-based
+    names are accepted as aliases of CG for API compatibility.
+    """
+
+    CG = "cg"
+    SUPERLU = "superlu"
+    UMFPACK = "umfpack"
+    PARDISO = "pardiso"
+    CUPY = "cupy"
+
+
+@dataclass
+class SolverOptions:
+    """Options for :class:`tdgl_tpu.TDGLSolver`.
+
+    Args:
+        solve_time: Total simulation time (after thermalization).
+        skip_time: Thermalization time simulated before recording data.
+        dt_init: Initial time step.
+        dt_max: Maximum adaptive time step.
+        adaptive: Use an adaptive time step.
+        adaptive_window: Number of recent steps in the adaptive-dt average.
+        max_solve_retries: Max dt reductions per step before giving up.
+        adaptive_time_step_multiplier: dt multiplier per retry.
+        terminal_psi: Fixed order-parameter value in current terminals
+            (None disables the Dirichlet rows).
+        output_file: Path for the HDF5 output (None = temporary file).
+        gpu: Accepted for reference API compatibility (ignored: JAX manages
+            device placement; the TPU is used when available).
+        sparse_solver: See :class:`SparseSolver`.
+        field_units / current_units: Units for fields and currents.
+        pause_on_interrupt: Pause interactively on Ctrl-C.
+        save_every: Steps between saved snapshots.
+        progress_interval: Steps between log-based progress reports
+            (0 disables; a tqdm bar is shown instead).
+        monitor: Launch the live-monitor subprocess.
+        monitor_update_interval: Monitor poll period in seconds.
+        include_screening: Self-consistently include the induced vector
+            potential.
+        max_iterations_per_step: Screening fixed-point iteration cap.
+        screening_tolerance: Relative screening convergence tolerance.
+        screening_step_size: Polyak step size alpha.
+        screening_step_drag: Polyak drag beta.
+        dtype: "float32" (TPU-native) or "float64" (CPU parity runs).
+        poisson_tolerance: Relative CG tolerance for the mu solve.
+        poisson_max_iterations: CG iteration cap.
+        steps_per_chunk: TDGL steps fused into one compiled scan between host
+            synchronizations. Defaults to ``save_every`` (snapshots align with
+            chunk boundaries).
+    """
+
+    solve_time: float
+    skip_time: float = 0.0
+    dt_init: float = 1e-6
+    dt_max: float = 1e-1
+    adaptive: bool = True
+    adaptive_window: int = 10
+    max_solve_retries: int = 10
+    adaptive_time_step_multiplier: float = 0.25
+    output_file: Optional[str] = None
+    terminal_psi: Union[float, complex, None] = 0.0
+    gpu: bool = False
+    sparse_solver: Union[SparseSolver, str] = SparseSolver.CG
+    pause_on_interrupt: bool = True
+    save_every: int = 100
+    progress_interval: int = 0
+    monitor: bool = False
+    monitor_update_interval: float = 1.0
+    field_units: str = "mT"
+    current_units: str = "uA"
+    include_screening: bool = False
+    max_iterations_per_step: int = 1000
+    screening_tolerance: float = 1e-3
+    screening_step_size: float = 0.1
+    screening_step_drag: float = 0.5
+    # TPU-specific options
+    dtype: str = "float32"
+    poisson_tolerance: float = 1e-6
+    poisson_max_iterations: int = 1500
+    steps_per_chunk: Optional[int] = None
+
+    def validate(self) -> None:
+        if self.dt_init > self.dt_max:
+            raise SolverOptionsError(
+                "dt_init must be less than or equal to dt_max."
+            )
+        if self.terminal_psi is not None and not (
+            0 <= abs(self.terminal_psi) <= 1
+        ):
+            raise SolverOptionsError(
+                "terminal_psi must be None or have absolute value in [0, 1]"
+                f" (got {self.terminal_psi})."
+            )
+        if not (0 < self.adaptive_time_step_multiplier < 1):
+            raise SolverOptionsError(
+                "adaptive_time_step_multiplier must be in (0, 1)"
+                f" (got {self.adaptive_time_step_multiplier})."
+            )
+        if not (0 < self.screening_step_drag <= 1):
+            raise SolverOptionsError(
+                "screening_step_drag must be in (0, 1]"
+                f" (got {self.screening_step_drag})."
+            )
+        if self.screening_step_size <= 0:
+            raise SolverOptionsError(
+                f"screening_step_size must be > 0 (got {self.screening_step_size})."
+            )
+        if self.screening_tolerance <= 0:
+            raise SolverOptionsError(
+                f"screening_tolerance must be > 0 (got {self.screening_tolerance})."
+            )
+        if self.dtype not in ("float32", "float64"):
+            raise SolverOptionsError(
+                f"dtype must be 'float32' or 'float64' (got {self.dtype})."
+            )
+        if isinstance(self.sparse_solver, str):
+            try:
+                self.sparse_solver = SparseSolver[self.sparse_solver.upper()]
+            except KeyError:
+                raise SolverOptionsError(
+                    f"sparse_solver must be one of"
+                    f" {list(SparseSolver.__members__)} (got"
+                    f" {self.sparse_solver})."
+                )
+        if self.save_every < 1:
+            raise SolverOptionsError("save_every must be >= 1.")

@@ -1,0 +1,506 @@
+"""TDGLSolver: problem assembly and execution.
+
+API parity with the reference ``tdgl/solver/solver.py:88-827``: the same
+constructor signature, nondimensionalization (A in units of A0, currents via
+``J_scale = 4 (I/L)/K0``), terminal boundary conditions, disorder handling,
+seed solutions, and HDF5 output. The execution backend is the compiled
+chunked scan from :mod:`tdgl_tpu.solver.step`.
+
+Time-dependent inputs run on one of two paths:
+
+* **traced** (TPU fast path): ``Parameter(..., jittable=True)`` promises the
+  function is jax-traceable; it is evaluated inside the compiled step.
+* **host** (parity path): plain Python callables are evaluated on the host
+  every step (chunk size 1), matching the reference's behavior exactly.
+"""
+
+from __future__ import annotations
+
+import inspect
+import logging
+import numbers
+from datetime import datetime
+from typing import Callable, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..device.device import Device, TerminalInfo
+from ..fv.operators import build_operators
+from ..parameter import Parameter
+from ..sources.constant import ConstantField
+from ..utils.units import ureg
+from .options import SolverOptions
+from .runner import DataHandler, Runner
+from .step import SolverState, StepConfig, make_chunk_fn
+
+logger = logging.getLogger("solver")
+
+
+def validate_terminal_currents(
+    terminal_currents: Union[Callable, Dict[str, float]],
+    terminal_info: Sequence[TerminalInfo],
+    solver_options: SolverOptions,
+    num_evals: int = 100,
+) -> None:
+    """Check that the terminal currents sum to zero (current conservation)."""
+
+    def check(currents: Dict[str, float]) -> None:
+        names = {t.name for t in terminal_info}
+        unknown = set(currents) - names
+        if unknown:
+            raise ValueError(
+                f"Unknown terminal(s) in terminal currents: {sorted(unknown)}."
+            )
+        total = sum(currents.values())
+        if total:
+            raise ValueError(
+                f"The sum of all terminal currents must be 0 (got {total:.2e})."
+            )
+
+    if callable(terminal_currents):
+        for t in np.random.default_rng(0).random(num_evals) * \
+                solver_options.solve_time:
+            check(terminal_currents(t))
+    else:
+        check(terminal_currents)
+
+
+class TDGLSolver:
+    """Solves a TDGL model for a given device.
+
+    Args:
+        device: The meshed :class:`tdgl_tpu.Device`.
+        options: :class:`tdgl_tpu.SolverOptions`.
+        applied_vector_potential: A float (uniform field strength in
+            ``field_units``), or a Parameter/callable of ``(x, y, z)`` (and
+            keyword ``t`` if time-dependent) returning the vector potential in
+            ``field_units * length_units``.
+        terminal_currents: Dict ``{terminal_name: current}`` or callable
+            ``t -> dict`` (in ``current_units``).
+        disorder_epsilon: Float (<= 1) or callable giving the local critical
+            temperature parameter epsilon(r[, t]).
+        seed_solution: A previous Solution used as the initial state.
+    """
+
+    def __init__(
+        self,
+        device: Device,
+        options: SolverOptions,
+        applied_vector_potential: Union[Callable, float] = 0.0,
+        terminal_currents: Union[Callable, Dict[str, float], None] = None,
+        disorder_epsilon: Union[Callable, float] = 1.0,
+        seed_solution=None,
+    ):
+        self.device = device
+        self.options = options
+        options.validate()
+        self.terminal_currents = terminal_currents
+        self.seed_solution = seed_solution
+
+        if device.mesh is None:
+            raise ValueError(
+                "The device has no mesh; call device.make_mesh() first."
+            )
+        mesh = device.mesh
+        self.mesh = mesh
+        self.rdtype = np.float32 if options.dtype == "float32" else np.float64
+        self.cdtype = (np.complex64 if options.dtype == "float32"
+                       else np.complex128)
+
+        xi = device.layer.coherence_length
+        self.u = device.layer.u
+        self.gamma = device.layer.gamma
+        length_units = ureg(device.length_units)
+        K0 = device.K0
+        A0 = device.A0
+
+        self.probe_points = device.probe_point_indices
+        # Dimensionful coordinates for evaluating user-supplied fields.
+        self.sites = xi * np.asarray(mesh.sites)
+        self.edge_centers = xi * np.asarray(mesh.edge_mesh.centers)
+        self.num_edges = len(mesh.edge_mesh.edges)
+        self.z0 = device.layer.z0 * np.ones(len(self.edge_centers))
+
+        # --- applied vector potential --------------------------------------
+        self.dynamic_vector_potential = (
+            isinstance(applied_vector_potential, Parameter)
+            and applied_vector_potential.time_dependent
+        )
+        if not callable(applied_vector_potential):
+            applied_vector_potential = ConstantField(
+                applied_vector_potential,
+                field_units=options.field_units,
+                length_units=device.length_units,
+            )
+        self.applied_vector_potential = applied_vector_potential
+        # A given in field_units * length_units; convert to units of A0:
+        self.A_scale = float(
+            (ureg(options.field_units) * length_units / A0)
+            .to_base_units().magnitude
+        )
+        self._A_kwargs = (
+            dict(t=0.0) if self.dynamic_vector_potential else dict()
+        )
+        current_A_applied = self._eval_A(0.0)
+
+        # --- disorder epsilon ------------------------------------------------
+        if callable(disorder_epsilon):
+            spec = inspect.getfullargspec(disorder_epsilon)
+            self.dynamic_epsilon = "t" in (spec.kwonlyargs or [])
+            self.vectorized_epsilon = bool(
+                (spec.kwonlydefaults or {}).get("vectorized", False)
+            )
+        else:
+            value = float(disorder_epsilon)
+
+            def disorder_epsilon(r, *, _value=value):
+                return _value * np.ones(len(r))
+
+            self.dynamic_epsilon = False
+            self.vectorized_epsilon = True
+        self.disorder_epsilon = disorder_epsilon
+        epsilon = self._eval_epsilon(0.0)
+        if np.any(epsilon > 1):
+            raise ValueError("The disorder parameter epsilon must be <= 1.")
+
+        # --- terminals -------------------------------------------------------
+        self.terminal_info = device.terminal_info()
+        self.terminal_names = [t.name for t in self.terminal_info]
+        for info in self.terminal_info:
+            if info.length == 0:
+                raise ValueError(
+                    f"Terminal {info.name!r} does not contain any boundary"
+                    " mesh sites."
+                )
+        if terminal_currents and device.probe_points is None:
+            logger.warning(
+                "The terminal currents are non-null, but the device has no"
+                " probe points."
+            )
+        if terminal_currents is None:
+            terminal_currents = {name: 0.0 for name in self.terminal_names}
+        if callable(terminal_currents):
+            current_func = terminal_currents
+            self.dynamic_currents = True
+        else:
+            terminal_currents = {
+                name: terminal_currents.get(name, 0.0)
+                for name in self.terminal_names
+            }
+            self.dynamic_currents = False
+
+            def current_func(t, _currents=terminal_currents):
+                return _currents
+
+        # Dimensionless current scale: edge supercurrent values are in units
+        # of J0/4 = K0/(4 d), hence the factor 4 (cf. reference
+        # ``solver.py:251`` and the unit convention notes in
+        # ``models/gtdgl.edge_quantity_to_sites``).
+        J_scale = (ureg(options.current_units) / length_units / K0)
+        J_scale = 4.0 * float(J_scale.to_base_units().magnitude)
+        self.current_func = (
+            lambda t: {k: J_scale * v for k, v in current_func(t).items()}
+        )
+        validate_terminal_currents(self.current_func, self.terminal_info,
+                                   options)
+
+        if self.terminal_info:
+            normal_boundary_index = np.concatenate(
+                [t.site_indices for t in self.terminal_info]
+            ).astype(np.int32)
+        else:
+            normal_boundary_index = np.array([], dtype=np.int32)
+
+        # --- operators -------------------------------------------------------
+        terminal_psi = options.terminal_psi
+        fixed = (normal_boundary_index if terminal_psi is not None
+                 else np.array([], dtype=np.int32))
+        logger.info("Constructing finite volume operators.")
+        host_op = build_operators(mesh, fixed_sites=fixed, dtype=self.rdtype)
+        self.op = jax.tree.map(jnp.asarray, host_op)
+        self.host_op = host_op
+
+        # --- screening weights ------------------------------------------------
+        screening_weights = None
+        if options.include_screening:
+            # weight_s = [mu_0/(4 pi) K0/A0] * xi * a_s (dimensionless a, r).
+            A_scale_scr = (
+                (ureg("mu_0") / (4 * np.pi) * K0 / A0).to(1 / length_units)
+            ).magnitude
+            screening_weights = jnp.asarray(
+                (A_scale_scr * xi) * np.asarray(mesh.areas), dtype=self.rdtype
+            )
+
+        # --- initial state -----------------------------------------------------
+        n_sites = len(mesh.sites)
+        n_boundary = len(host_op.boundary_edge_indices)
+        psi_init = np.ones(n_sites, dtype=self.cdtype)
+        if terminal_psi is not None:
+            psi_init[normal_boundary_index] = terminal_psi
+        mu_init = np.zeros(n_sites, dtype=self.rdtype)
+        self.psi_init = psi_init
+        self.mu_init = mu_init
+        self.epsilon = np.asarray(epsilon, dtype=self.rdtype)
+        self.current_A_applied = current_A_applied
+
+        # --- time-dependence strategy -----------------------------------------
+        self._jittable_A = (
+            self.dynamic_vector_potential
+            and getattr(self.applied_vector_potential, "jittable", False)
+        )
+        self._jittable_eps = (
+            self.dynamic_epsilon
+            and getattr(self.disorder_epsilon, "jittable", False)
+        )
+        self.host_dynamic = (
+            (self.dynamic_vector_potential and not self._jittable_A)
+            or (self.dynamic_epsilon and not self._jittable_eps)
+            or self.dynamic_currents
+        )
+
+        A_fn = eps_fn = None
+        if self._jittable_A:
+            xe = self.edge_centers[:, 0]
+            ye = self.edge_centers[:, 1]
+            ze = self.z0
+
+            def A_fn(t, _p=self.applied_vector_potential):
+                A = _p.func(xe, ye, ze, t=t, **_p.kwargs)
+                return self.A_scale * jnp.asarray(A)[:, :2]
+
+        if self._jittable_eps:
+            xs = self.sites
+
+            def eps_fn(t, _p=self.disorder_epsilon):
+                return jnp.asarray(_p.func(xs[:, 0], xs[:, 1], t=t,
+                                           **_p.kwargs))
+
+        dt_max = options.dt_max if options.adaptive else options.dt_init
+        self.cfg = StepConfig(
+            gamma=float(self.gamma),
+            u=float(self.u),
+            adaptive=bool(options.adaptive),
+            dt_init=float(options.dt_init),
+            dt_max=float(dt_max),
+            adaptive_window=int(options.adaptive_window),
+            max_solve_retries=int(options.max_solve_retries),
+            adaptive_time_step_multiplier=float(
+                options.adaptive_time_step_multiplier
+            ),
+            include_screening=bool(options.include_screening),
+            screening_tolerance=float(options.screening_tolerance),
+            screening_step_size=float(options.screening_step_size),
+            screening_step_drag=float(options.screening_step_drag),
+            max_iterations_per_step=int(options.max_iterations_per_step),
+            poisson_tolerance=float(options.poisson_tolerance),
+            poisson_max_iterations=int(options.poisson_max_iterations),
+            probe_ix=(tuple(self.probe_points)
+                      if self.probe_points is not None else None),
+            A_fn=A_fn,
+            eps_fn=eps_fn,
+            mu_boundary_fn=None,
+            screening_weights=screening_weights,
+        )
+        if self.host_dynamic:
+            self.chunk_size = 1
+        else:
+            self.chunk_size = int(
+                options.steps_per_chunk or min(options.save_every, 4096)
+            )
+            # Snapshot cadence must align with chunk boundaries.
+            self.chunk_size = min(self.chunk_size, options.save_every)
+            if options.save_every % self.chunk_size:
+                self.chunk_size = options.save_every
+        self.chunk_fn = make_chunk_fn(self.op, self.cfg, self.chunk_size)
+
+    # -- host-side evaluation helpers ---------------------------------------
+    def _eval_A(self, time: float) -> np.ndarray:
+        kwargs = (dict(t=time) if self.dynamic_vector_potential else dict())
+        A = self.applied_vector_potential(
+            self.edge_centers[:, 0], self.edge_centers[:, 1], self.z0,
+            **kwargs,
+        )
+        A = self.A_scale * np.asarray(A)[:, :2]
+        if A.shape != self.edge_centers.shape:
+            raise ValueError(
+                f"Unexpected shape for vector_potential: {A.shape}."
+            )
+        return A.astype(self.rdtype)
+
+    def _eval_epsilon(self, time: float) -> np.ndarray:
+        kwargs = dict(t=time) if self.dynamic_epsilon else dict()
+        if self.vectorized_epsilon:
+            eps = self.disorder_epsilon(self.sites, **kwargs)
+        else:
+            eps = np.array(
+                [float(self.disorder_epsilon(r, **kwargs))
+                 for r in self.sites]
+            )
+        return np.asarray(eps, dtype=self.rdtype)
+
+    def _mu_boundary(self, time: float) -> np.ndarray:
+        """Terminal current densities -> Neumann BC values per boundary edge
+        (``bc-current`` in the reference docs)."""
+        currents = self.current_func(time)
+        mu_boundary = np.zeros(len(self.host_op.boundary_edge_indices),
+                               dtype=self.rdtype)
+        for term in self.terminal_info:
+            density = (-1.0 / term.length) * sum(
+                currents.get(name, 0.0)
+                for name in self.terminal_names
+                if name != term.name
+            )
+            mu_boundary[term.boundary_edge_indices] = density
+        return mu_boundary
+
+    def _host_update(self, state: SolverState) -> SolverState:
+        """Evaluate non-traceable time-dependent inputs on the host
+        (chunk size 1)."""
+        time = float(jax.device_get(state.time))
+        updates = {}
+        if self.dynamic_vector_potential and not self._jittable_A:
+            A_new = self._eval_A(time)
+            prev = np.asarray(jax.device_get(state.A_applied))
+            prev_dt = float(jax.device_get(state.prev_dt))
+            ndirs = (self.host_op.edge_directions
+                     / np.linalg.norm(self.host_op.edge_directions, axis=1,
+                                      keepdims=True))
+            dA_dt = np.einsum("ij,ij->i", (A_new - prev) / prev_dt, ndirs)
+            updates["A_applied"] = jnp.asarray(A_new)
+            updates["dA_dt"] = jnp.asarray(dA_dt.astype(self.rdtype))
+        if self.dynamic_epsilon and not self._jittable_eps:
+            updates["epsilon"] = jnp.asarray(self._eval_epsilon(time))
+        if self.dynamic_currents:
+            updates["mu_boundary"] = jnp.asarray(self._mu_boundary(time))
+        if updates:
+            state = state._replace(**updates)
+        return state
+
+    # -- state assembly ---------------------------------------------------------
+    def _initial_state(self) -> SolverState:
+        options = self.options
+        n_edges = self.num_edges
+        if self.seed_solution is not None:
+            if self.seed_solution.device != self.device:
+                raise ValueError(
+                    "The seed_solution.device must match the device being"
+                    " simulated."
+                )
+            seed = self.seed_solution.tdgl_data
+            psi = np.asarray(seed.psi, dtype=self.cdtype)
+            mu = np.asarray(seed.mu, dtype=self.rdtype)
+            supercurrent = np.asarray(seed.supercurrent, dtype=self.rdtype)
+            normal_current = np.asarray(seed.normal_current,
+                                        dtype=self.rdtype)
+            A_induced = np.asarray(seed.induced_vector_potential,
+                                   dtype=self.rdtype)
+        else:
+            psi = self.psi_init
+            mu = self.mu_init
+            supercurrent = np.zeros(n_edges, dtype=self.rdtype)
+            normal_current = np.zeros(n_edges, dtype=self.rdtype)
+            A_induced = np.zeros((n_edges, 2), dtype=self.rdtype)
+        rd = self.rdtype
+        return SolverState(
+            psi=jnp.asarray(psi),
+            mu=jnp.asarray(mu),
+            supercurrent=jnp.asarray(supercurrent),
+            normal_current=jnp.asarray(normal_current),
+            A_induced=jnp.asarray(A_induced),
+            A_applied=jnp.asarray(self.current_A_applied.astype(rd)),
+            epsilon=jnp.asarray(self.epsilon),
+            mu_boundary=jnp.asarray(self._mu_boundary(0.0)),
+            dA_dt=jnp.zeros(n_edges, rd),
+            tentative_dt=jnp.asarray(options.dt_init, rd),
+            prev_dt=jnp.asarray(options.dt_init, rd),
+            time=jnp.asarray(0.0, rd),
+            step=jnp.asarray(0, jnp.int32),
+            dpsi_window=jnp.zeros(options.adaptive_window, rd),
+            end_time=jnp.asarray(options.solve_time, rd),
+            done=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        )
+
+    def _state_to_arrays(self, state: SolverState) -> Dict[str, np.ndarray]:
+        data = dict(
+            psi=np.asarray(state.psi),
+            mu=np.asarray(state.mu),
+            supercurrent=np.asarray(state.supercurrent),
+            normal_current=np.asarray(state.normal_current),
+            induced_vector_potential=np.asarray(state.A_induced),
+        )
+        if self.dynamic_vector_potential:
+            data["applied_vector_potential"] = np.asarray(state.A_applied)
+        if self.dynamic_epsilon:
+            data["epsilon"] = np.asarray(state.epsilon)
+        return data
+
+    # -- main entry point ----------------------------------------------------------
+    def solve(self):
+        """Run the simulation; returns a :class:`tdgl_tpu.Solution` (or None
+        if cancelled during thermalization)."""
+        from ..solution.solution import Solution
+
+        start_time = datetime.now()
+        options = self.options
+        options.validate()
+
+        running = {"dt": 1}
+        if self.probe_points is not None:
+            running["mu"] = len(self.probe_points)
+            running["theta"] = len(self.probe_points)
+        if options.include_screening:
+            running["screening_iterations"] = 1
+
+        state = self._initial_state()
+        fixed = {}
+        if not self.dynamic_vector_potential:
+            fixed["applied_vector_potential"] = self.current_A_applied
+        if not self.dynamic_epsilon:
+            fixed["epsilon"] = self.epsilon
+
+        with DataHandler(output_file=options.output_file,
+                         logger=logger) as data_handler:
+            data_handler.save_mesh(self.mesh)
+            data_handler.save_fixed_values(fixed)
+            if data_handler.tmp_file is not None:
+                self.device.to_hdf5(
+                    data_handler.tmp_file.create_group("solution/device")
+                )
+            logger.info(
+                "Simulation started at %s on backend %r (chunk size %d).",
+                start_time, jax.default_backend(), self.chunk_size,
+            )
+            runner = Runner(
+                chunk_fn=self.chunk_fn,
+                initial_state=state,
+                options=options,
+                data_handler=data_handler,
+                state_to_arrays=self._state_to_arrays,
+                running_names_and_sizes=running,
+                chunk_size=self.chunk_size,
+                host_update_fn=(self._host_update if self.host_dynamic
+                                else None),
+                monitor=options.monitor,
+                monitor_update_interval=options.monitor_update_interval,
+                logger=logger,
+            )
+            data_was_generated = runner.run()
+            end_time = datetime.now()
+            logger.info("Simulation ended at %s (took %s).", end_time,
+                        end_time - start_time)
+            if not data_was_generated:
+                return None
+            solution = Solution(
+                device=self.device,
+                path=data_handler.output_path,
+                options=options,
+                applied_vector_potential=self.applied_vector_potential,
+                terminal_currents=self.terminal_currents,
+                disorder_epsilon=self.disorder_epsilon,
+                total_seconds=(end_time - start_time).total_seconds(),
+            )
+            solution.to_hdf5()
+            return solution

@@ -1,0 +1,325 @@
+"""The compiled TDGL time step and chunked scan driver.
+
+One TDGL step — implicit-Euler psi update with discriminant-retry, the
+supercurrent, the CG mu-Poisson solve, the normal current, the optional
+screening fixed point, and the adaptive-dt selection — is a single pure
+function ``state -> (state, outputs)``, with every data-dependent loop
+expressed as ``lax.while_loop`` so the whole thing lives inside one XLA
+program. ``steps_per_chunk`` steps are then fused with ``lax.scan`` between
+host synchronizations.
+
+Semantics follow the reference update loop (``tdgl/solver/solver.py:580-714``
+and ``tdgl/solver/runner.py:330-454``), including:
+
+* the tentative time step is chosen once per step and only reduced by
+  discriminant retries (``solver.py:441-487``);
+* the adaptive dt estimate averages ``max |d|psi|^2|`` over the last
+  ``adaptive_window`` steps (``background.rst: dt-tentative``);
+* one extra step executes after ``time >= end_time`` (the reference's runner
+  breaks *after* the update);
+* the screening loop is a Polyak fixed point re-running the full
+  psi/mu/current update each iteration (``solver.py:654-688``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gtdgl
+from ..ops.cg import solve_mu_poisson
+from ..ops.screening import induced_vector_potential
+
+
+class SolverState(NamedTuple):
+    """The full device-resident solver state (a pytree)."""
+
+    psi: jax.Array              # (N,) complex
+    mu: jax.Array               # (N,)
+    supercurrent: jax.Array     # (E,)
+    normal_current: jax.Array   # (E,)
+    A_induced: jax.Array        # (E, 2)
+    A_applied: jax.Array        # (E, 2) — current applied vector potential
+    epsilon: jax.Array          # (N,)
+    mu_boundary: jax.Array      # (B,) current-density BC per boundary edge
+    dA_dt: jax.Array            # (E,) edge-projected dA/dt (host-set when the
+                                # applied potential is dynamic but not traced)
+    tentative_dt: jax.Array     # scalar
+    prev_dt: jax.Array          # scalar — dt used in the previous step
+    time: jax.Array             # scalar
+    step: jax.Array             # scalar int32 — step index within the stage
+    dpsi_window: jax.Array      # (W,) ring buffer of max |d|psi|^2|
+    end_time: jax.Array         # scalar — stage end time
+    done: jax.Array             # scalar bool
+    failed: jax.Array           # scalar bool (retry/screening non-convergence)
+
+
+class StepOutputs(NamedTuple):
+    """Per-step scalars recorded by the runner (cf. RunningState)."""
+
+    dt: jax.Array
+    time: jax.Array
+    mu_probe: jax.Array         # (P,)
+    theta_probe: jax.Array      # (P,)
+    screening_iterations: jax.Array
+    cg_iterations: jax.Array
+    valid: jax.Array            # bool — False for frozen (post-done) slots
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static configuration compiled into the step function."""
+
+    gamma: float
+    u: float
+    adaptive: bool
+    dt_init: float
+    dt_max: float
+    adaptive_window: int
+    max_solve_retries: int
+    adaptive_time_step_multiplier: float
+    include_screening: bool
+    screening_tolerance: float
+    screening_step_size: float
+    screening_step_drag: float
+    max_iterations_per_step: int
+    poisson_tolerance: float
+    poisson_max_iterations: int
+    probe_ix: Optional[tuple] = None          # tuple of site indices
+    # Jax-traceable time-dependent inputs (fast path). Each maps a scalar
+    # time to the full array; None means the corresponding state field is
+    # used as-is (static, or host-updated between chunks).
+    A_fn: Optional[Callable] = None           # t -> (E, 2)
+    eps_fn: Optional[Callable] = None         # t -> (N,)
+    mu_boundary_fn: Optional[Callable] = None  # t -> (B,)
+    # Screening prefactor per site: A_scale * xi * voronoi_area (so that
+    # A_induced = sum_s J_site[s] * weight[s] / |r_e - r_s| in dimensionless
+    # coordinates). None disables screening weights.
+    screening_weights: Optional[jax.Array] = None
+
+
+def make_step_fn(op, cfg: StepConfig):
+    """Build the single-step function ``state -> (state, outputs)``."""
+    n_sites = op.areas.shape[0]
+    rdtype = op.areas.dtype
+    probe_ix = (jnp.asarray(cfg.probe_ix, dtype=jnp.int32)
+                if cfg.probe_ix else jnp.zeros((0,), jnp.int32))
+
+    def euler_with_retries(U, psi, old_sq, mu, epsilon, dt0):
+        """Adaptive Euler update with dt-shrinking retries
+        (``solver.py:441-487``)."""
+        res0 = gtdgl.implicit_euler_psi(
+            op, U, psi, old_sq, mu, epsilon, cfg.gamma, cfg.u, dt0
+        )
+        if not cfg.adaptive:
+            return res0.psi, res0.abs_sq_psi, dt0, jnp.logical_not(res0.ok)
+
+        def cond(carry):
+            dt, psi_n, sq_n, ok, tries = carry
+            return jnp.logical_and(jnp.logical_not(ok),
+                                   tries <= cfg.max_solve_retries)
+
+        def body(carry):
+            dt, psi_n, sq_n, ok, tries = carry
+            dt = dt * cfg.adaptive_time_step_multiplier
+            res = gtdgl.implicit_euler_psi(
+                op, U, psi, old_sq, mu, epsilon, cfg.gamma, cfg.u, dt
+            )
+            return (dt, res.psi, res.abs_sq_psi, res.ok, tries + 1)
+
+        dt, psi_n, sq_n, ok, tries = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(dt0, rdtype), res0.psi, res0.abs_sq_psi, res0.ok,
+             jnp.array(0, jnp.int32)),
+        )
+        return psi_n, sq_n, dt, jnp.logical_not(ok)
+
+    def observables(U, psi, dA_dt, mu_boundary, mu_guess):
+        """Supercurrent, mu (CG), and normal current (``solver.py:489-520``)."""
+        J_s = gtdgl.supercurrent_on_edges(op, U, psi)
+        rhs = gtdgl.poisson_rhs(op, J_s, dA_dt, mu_boundary)
+        cg = solve_mu_poisson(
+            op, rhs, mu_guess,
+            tol=cfg.poisson_tolerance, maxiter=cfg.poisson_max_iterations,
+        )
+        J_n = -gtdgl.gradient_on_edges(op, cg.x) - dA_dt
+        return J_s, cg.x, J_n, cg.iterations
+
+    def step(state: SolverState):
+        time = state.time
+        # --- time-dependent inputs (fast, traced path) ---
+        if cfg.A_fn is not None:
+            A_applied = cfg.A_fn(time).astype(rdtype)
+            norm_dir = (op.edge_directions
+                        / jnp.linalg.norm(op.edge_directions, axis=1,
+                                          keepdims=True)).astype(rdtype)
+            dA_dt = jnp.sum(
+                (A_applied - state.A_applied) / state.prev_dt * norm_dir,
+                axis=1,
+            )
+        else:
+            A_applied = state.A_applied
+            dA_dt = state.dA_dt
+        epsilon = (cfg.eps_fn(time).astype(rdtype)
+                   if cfg.eps_fn is not None else state.epsilon)
+        mu_boundary = (cfg.mu_boundary_fn(time).astype(rdtype)
+                       if cfg.mu_boundary_fn is not None
+                       else state.mu_boundary)
+
+        old_sq = jnp.abs(state.psi) ** 2
+        dt0 = state.tentative_dt
+
+        def tdgl_update(psi_in, mu_in, A_induced, dt):
+            # Within the screening fixed point the reference feeds the
+            # previous iteration's psi and mu back into the Euler update
+            # while keeping |psi^n|^2 as the old superfluid density
+            # (``solver.py:649,676-680``).
+            A_total = (A_applied + A_induced if cfg.include_screening
+                       else A_applied)
+            U = gtdgl.edge_link_phases(A_total, op.edge_directions)
+            psi_n, sq_n, dt_used, fail = euler_with_retries(
+                U, psi_in, old_sq, mu_in, epsilon, dt
+            )
+            J_s, mu_n, J_n, cg_iters = observables(
+                U, psi_n, dA_dt, mu_boundary, mu_in
+            )
+            return psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters
+
+        if cfg.include_screening:
+            big = jnp.asarray(1e30, rdtype)
+
+            def s_cond(carry):
+                (s, err, *_rest) = carry
+                return jnp.logical_and(
+                    err >= cfg.screening_tolerance,
+                    s <= cfg.max_iterations_per_step,
+                )
+
+            def s_body(carry):
+                (s, err, dt, A_ind, velocity, psi_n, sq_n, mu_n, J_s, J_n,
+                 fail, cg_iters) = carry
+                psi_n, sq_n, mu_n, J_s, J_n, dt, fail_i, cg_iters = tdgl_update(
+                    psi_n, mu_n, A_ind, dt
+                )
+                J_site = gtdgl.edge_quantity_to_sites(op, J_s + J_n, n_sites)
+                Jw = J_site * cfg.screening_weights[:, None].astype(rdtype)
+                A_new = induced_vector_potential(
+                    op.edge_centers.astype(rdtype), op.sites.astype(rdtype),
+                    Jw,
+                )
+                dA = A_new - A_ind
+                velocity = ((1.0 - cfg.screening_step_drag) * velocity
+                            + cfg.screening_step_size * dA)
+                A_ind = A_ind + velocity
+                err = jnp.max(
+                    jnp.linalg.norm(dA, axis=1)
+                    / jnp.maximum(jnp.linalg.norm(A_ind, axis=1), 1e-20)
+                )
+                return (s + 1, err, dt, A_ind, velocity, psi_n, sq_n, mu_n,
+                        J_s, J_n, jnp.logical_or(fail, fail_i), cg_iters)
+
+            zeros_e = jnp.zeros(op.edges.shape[0], rdtype)
+            init = (
+                jnp.array(0, jnp.int32), big, dt0, state.A_induced,
+                jnp.zeros_like(state.A_induced), state.psi, old_sq, state.mu,
+                zeros_e, zeros_e, jnp.array(False), jnp.array(0, jnp.int32),
+            )
+            (s, err, dt_used, A_induced, _vel, psi_n, sq_n, mu_n, J_s, J_n,
+             fail, cg_iters) = jax.lax.while_loop(s_cond, s_body, init)
+            fail = jnp.logical_or(fail, err >= cfg.screening_tolerance)
+            screening_iters = s
+        else:
+            psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters = tdgl_update(
+                state.psi, state.mu, state.A_induced, dt0
+            )
+            A_induced = state.A_induced
+            screening_iters = jnp.array(0, jnp.int32)
+
+        # --- adaptive time-step selection (``solver.py:698-707``) ---
+        d_psi_sq = jnp.max(jnp.abs(sq_n - old_sq))
+        W = cfg.adaptive_window
+        window = state.dpsi_window.at[state.step % W].set(
+            d_psi_sq.astype(rdtype)
+        )
+        if cfg.adaptive:
+            new_dt_est = cfg.dt_init / jnp.maximum(
+                jnp.asarray(1e-10, rdtype), jnp.mean(window)
+            )
+            tentative = jnp.clip(0.5 * (new_dt_est + dt_used), 0.0,
+                                 cfg.dt_max)
+            tentative = jnp.where(state.step > W, tentative,
+                                  state.tentative_dt)
+        else:
+            tentative = state.tentative_dt
+
+        new_state = SolverState(
+            psi=psi_n,
+            mu=mu_n,
+            supercurrent=J_s,
+            normal_current=J_n,
+            A_induced=A_induced,
+            A_applied=A_applied,
+            epsilon=epsilon,
+            mu_boundary=mu_boundary,
+            dA_dt=dA_dt,
+            tentative_dt=tentative.astype(rdtype),
+            prev_dt=jnp.asarray(dt_used, rdtype),
+            time=time + dt_used,
+            step=state.step + 1,
+            dpsi_window=window,
+            end_time=state.end_time,
+            done=jnp.logical_or(time >= state.end_time, fail),
+            failed=jnp.logical_or(state.failed, fail),
+        )
+        outputs = StepOutputs(
+            dt=dt_used,
+            time=time + dt_used,
+            mu_probe=mu_n[probe_ix],
+            theta_probe=jnp.angle(psi_n[probe_ix]),
+            screening_iterations=screening_iters,
+            cg_iterations=cg_iters,
+            valid=jnp.array(True),
+        )
+        return new_state, outputs
+
+    return step
+
+
+def make_chunk_fn(op, cfg: StepConfig, chunk_size: int):
+    """Build a jitted function advancing up to ``chunk_size`` steps.
+
+    Steps after ``done`` pass the state through unchanged and emit
+    ``valid=False`` outputs, so shapes stay static while the host controls
+    stage boundaries.
+    """
+    step_fn = make_step_fn(op, cfg)
+    n_probe = len(cfg.probe_ix) if cfg.probe_ix else 0
+    rdtype = op.areas.dtype
+
+    def zero_outputs():
+        z = jnp.zeros((), rdtype)
+        return StepOutputs(
+            dt=z, time=z,
+            mu_probe=jnp.zeros(n_probe, rdtype),
+            theta_probe=jnp.zeros(n_probe, rdtype),
+            screening_iterations=jnp.array(0, jnp.int32),
+            cg_iterations=jnp.array(0, jnp.int32),
+            valid=jnp.array(False),
+        )
+
+    def scan_body(state, _):
+        return jax.lax.cond(
+            state.done,
+            lambda st: (st, zero_outputs()),
+            step_fn,
+            state,
+        )
+
+    @jax.jit
+    def chunk_fn(state: SolverState):
+        return jax.lax.scan(scan_body, state, xs=None, length=chunk_size)
+
+    return chunk_fn
