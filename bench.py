@@ -1,0 +1,93 @@
+"""Benchmark: TDGL steps/second on a 50k-site mesh (single chip).
+
+Measures simulation iterations per wall-clock second — the same quantity the
+reference logs in its runner (``tdgl/solver/runner.py:386-395``) — on the
+north-star workload from BASELINE.md: a 50k-site mesh, screening off, with
+the adaptive time step active.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by the 1e4 steps/sec target
+(the reference itself publishes no quantitative numbers; see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+
+def build_device(target_sites: int = 50_000):
+    import numpy as np
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+
+    layer = tdgl.Layer(
+        coherence_length=1.0, london_lambda=2.0, thickness=0.1,
+        conductivity=10.0,
+    )
+    # Side length chosen so ~target_sites at max_edge_length=xi/2.
+    side = 110.0
+    film = tdgl.Polygon("film", points=box(side)).resample(1200)
+    device = tdgl.Device("bench", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=target_sites, max_edge_length=0.75,
+                     smooth=10)
+    return device
+
+
+def main():
+    import numpy as np
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    t_setup = time.perf_counter()
+    device = build_device()
+    n_sites = len(device.mesh.sites)
+    print(f"# mesh: {n_sites} sites,"
+          f" {len(device.mesh.edge_mesh.edges)} edges"
+          f" ({time.perf_counter() - t_setup:.1f}s setup)", file=sys.stderr)
+
+    options = tdgl.SolverOptions(
+        solve_time=1e9,           # run by step count, not simulation time
+        dt_init=1e-4,
+        dt_max=1e-1,
+        save_every=500,
+        field_units="mT",
+        current_units="uA",
+        dtype="float32",
+    )
+    solver = TDGLSolver(device, options, applied_vector_potential=0.05)
+    state = solver._initial_state()
+    chunk_fn = solver.chunk_fn
+    chunk = solver.chunk_size
+
+    # Warmup: compile + let adaptive dt settle.
+    import jax
+
+    state, _ = chunk_fn(state)
+    jax.block_until_ready(state.psi)
+    print(f"# compiled; backend={jax.default_backend()}", file=sys.stderr)
+
+    # Timed region.
+    n_chunks = max(4, 4000 // chunk)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, _ = chunk_fn(state)
+    jax.block_until_ready(state.psi)
+    elapsed = time.perf_counter() - t0
+    steps = n_chunks * chunk
+    steps_per_sec = steps / elapsed
+
+    target = 1e4  # BASELINE.md north-star target
+    print(json.dumps({
+        "metric": f"tdgl_steps_per_sec_{n_sites}site_mesh",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

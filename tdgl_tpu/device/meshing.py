@@ -228,9 +228,21 @@ def generate_mesh(
     target_edge = max_edge_length if (max_edge_length and max_edge_length > 0) \
         else np.inf
 
+    def ring_spacing(ring: np.ndarray, h: float) -> float:
+        """Boundary spacing: honor the user's (finer) native vertex spacing —
+        peak currents live in an edge boundary layer — but cap the
+        boundary/interior ratio at 3x for triangle quality."""
+        native = float(np.median(
+            np.linalg.norm(np.diff(np.vstack([ring, ring[:1]]), axis=0),
+                           axis=1)
+        ))
+        return float(np.clip(native, h / 3, h))
+
     points = elements = None
     for iteration in range(20):
-        rings = [_resample_ring(film, h)] + [_resample_ring(hh, h) for hh in holes]
+        rings = [_resample_ring(film, ring_spacing(film, h))] + [
+            _resample_ring(hh, ring_spacing(hh, h)) for hh in holes
+        ]
         boundary_pts = np.concatenate(rings, axis=0)
         interior = _hex_lattice(film.min(axis=0), film.max(axis=0), h)
         inside = points_in_polygon(interior, film)

@@ -150,8 +150,9 @@ def implicit_euler_psi(
     ``ok`` is False if the discriminant is negative anywhere (time step too
     large; caller retries with smaller dt).
     """
-    rdtype = psi.real.dtype
-    dt = jnp.asarray(dt, rdtype)
+    # NOTE: dt stays a (possibly weak-typed) scalar; eager jnp.asarray of a
+    # python float would create a 0-d device constant, which some backends
+    # cannot fetch during lowering.
     phase = mu * dt
     U_t = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
     z = U_t * (0.5 * gamma**2) * psi

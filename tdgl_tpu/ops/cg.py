@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class CGResult(NamedTuple):
@@ -67,7 +68,9 @@ def cg_solve(
     b = project(b)
     x0 = project(x0)
     b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
-    tol_sq = jnp.asarray(tol, rdtype) ** 2 * b_norm_sq
+    # np (host) constant: an eager jnp scalar would embed a 0-d device
+    # constant, which some backends cannot fetch during lowering.
+    tol_sq = np.asarray(tol, rdtype) ** 2 * b_norm_sq
 
     def M_inv(v):
         if precond_inv_diag is None:
@@ -96,7 +99,7 @@ def cg_solve(
         return (x, r, z, p, rz_new, k + 1)
 
     x, r, _, _, _, k = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, p0, rz0, jnp.array(0, jnp.int32))
+        cond, body, (x0, r0, z0, p0, rz0, np.int32(0))
     )
     res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
     return CGResult(project(x), k, res)

@@ -1,0 +1,204 @@
+"""Multi-device batched parameter sweeps.
+
+The reference has no parallel execution beyond a single GPU (SURVEY 2.8): a
+physicist runs IV curves or field sweeps as many sequential solves. Here the
+whole compiled TDGL step is ``vmap``-ed over a batch axis of physical
+parameters (bias current and/or applied-field scale) and sharded across a
+``jax.sharding.Mesh`` of TPU devices, so an N-point sweep costs one solve of
+wall-clock on N chips. Collectives ride ICI automatically via XLA; there is
+no hand-written communication.
+
+All inner control flow (dt retries, screening fixed point, CG) is
+vmap-safe: every ``while_loop`` body gates its updates per batch member.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..device.device import Device
+from ..utils.jaxio import to_numpy, tree_to_numpy
+from ..solver.options import SolverOptions
+from ..solver.solver import TDGLSolver
+from ..solver.step import SolverState, StepOutputs, make_chunk_fn
+
+
+@dataclass
+class SweepResult:
+    """Results of a batched sweep.
+
+    Attributes:
+        values: The swept parameter values, shape ``(B,)``.
+        psi: Final order parameters, shape ``(B, N)``.
+        mu: Final scalar potentials, shape ``(B, N)``.
+        supercurrent / normal_current: Final edge currents, ``(B, E)``.
+        dynamics_dt: Per-step dt, shape ``(B, T)`` (zero-padded).
+        dynamics_mu: Probe-point potentials, ``(B, P, T)``.
+        dynamics_theta: Probe-point phases, ``(B, P, T)``.
+        steps: Number of steps each member took, shape ``(B,)``.
+    """
+
+    values: np.ndarray
+    psi: np.ndarray
+    mu: np.ndarray
+    supercurrent: np.ndarray
+    normal_current: np.ndarray
+    dynamics_dt: np.ndarray
+    dynamics_mu: np.ndarray
+    dynamics_theta: np.ndarray
+    steps: np.ndarray
+
+    def mean_voltages(self, i: int = 0, j: int = 1,
+                      tmin: float = 0.0) -> np.ndarray:
+        """dt-weighted mean voltage between probe points i and j for each
+        sweep member (the IV-curve ordinate)."""
+        out = np.zeros(len(self.values))
+        for b in range(len(self.values)):
+            dt = self.dynamics_dt[b]
+            mask = dt > 0
+            times = np.cumsum(dt)
+            mask &= times >= tmin
+            v = self.dynamics_mu[b, i] - self.dynamics_mu[b, j]
+            out[b] = np.average(v[mask], weights=dt[mask]) if mask.any() else 0.0
+        return out
+
+
+def _make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = np.array(jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, axis_names=("batch",))
+
+
+def solve_sweep(
+    device: Device,
+    options: SolverOptions,
+    *,
+    applied_vector_potential=0.0,
+    terminal_currents: Optional[Dict[str, float]] = None,
+    disorder_epsilon=1.0,
+    field_scales: Optional[Sequence[float]] = None,
+    current_scales: Optional[Sequence[float]] = None,
+    mesh: Optional[Mesh] = None,
+    max_steps: Optional[int] = None,
+) -> SweepResult:
+    """Run a batch of TDGL solves in parallel across devices.
+
+    Exactly one of ``field_scales`` or ``current_scales`` must be given; each
+    batch member ``b`` solves the same problem with the applied vector
+    potential (or every terminal current) multiplied by ``scales[b]``.
+
+    Args:
+        device: The meshed :class:`Device` (shared by all members).
+        options: Solver options (``save_every`` sets the chunk size).
+        applied_vector_potential: As in :func:`tdgl_tpu.solve`.
+        terminal_currents: As in :func:`tdgl_tpu.solve` (dict only).
+        disorder_epsilon: As in :func:`tdgl_tpu.solve`.
+        field_scales: Multipliers for the applied vector potential.
+        current_scales: Multipliers for all terminal currents.
+        mesh: The device mesh (default: 1D mesh over all available devices).
+        max_steps: Step cap (default: generous bound from dt_init).
+
+    Returns:
+        A :class:`SweepResult`.
+    """
+    if (field_scales is None) == (current_scales is None):
+        raise ValueError(
+            "Exactly one of field_scales / current_scales must be given."
+        )
+    scales = np.asarray(
+        field_scales if field_scales is not None else current_scales,
+        dtype=float,
+    )
+    B = len(scales)
+    if mesh is None:
+        mesh = _make_device_mesh()
+
+    solver = TDGLSolver(
+        device, options,
+        applied_vector_potential=applied_vector_potential,
+        terminal_currents=terminal_currents,
+        disorder_epsilon=disorder_epsilon,
+    )
+    if solver.host_dynamic:
+        raise ValueError(
+            "solve_sweep requires traced (jittable) or static parameters."
+        )
+    base_state = solver._initial_state()
+
+    # Broadcast the state over the batch axis, scaling the swept input.
+    def broadcast(leaf):
+        return jnp.broadcast_to(leaf, (B,) + leaf.shape)
+
+    batched = jax.tree.map(broadcast, base_state)
+    scales_j = jnp.asarray(scales, base_state.A_applied.dtype)
+    if field_scales is not None:
+        batched = batched._replace(
+            A_applied=batched.A_applied * scales_j[:, None, None]
+        )
+    else:
+        batched = batched._replace(
+            mu_boundary=batched.mu_boundary * scales_j[:, None]
+        )
+
+    # Shard the batch axis across devices.
+    def shard(leaf):
+        spec = (P("batch"),) + (P(None),) * 0
+        return jax.device_put(
+            leaf, NamedSharding(mesh, P("batch", *([None] * (leaf.ndim - 1))))
+        )
+
+    batched = jax.tree.map(shard, batched)
+
+    chunk_size = solver.chunk_size
+    chunk_fn = make_chunk_fn(solver.cfg, chunk_size)
+    batched_chunk = jax.jit(
+        jax.vmap(chunk_fn, in_axes=(None, None, 0))
+    )
+
+    if max_steps is None:
+        max_steps = int(
+            min(5e6, 10 * options.solve_time / options.dt_init)
+        )
+    outputs_list: List[StepOutputs] = []
+    state = batched
+    total = 0
+    while total < max_steps:
+        state, outputs = batched_chunk(
+            solver.op, solver._screening_weights, state
+        )
+        outputs = tree_to_numpy(outputs)
+        outputs_list.append(outputs)
+        total += chunk_size
+        if bool(np.all(to_numpy(state.done))):
+            break
+    if bool(np.any(to_numpy(state.failed))):
+        raise RuntimeError("One or more sweep members failed to converge.")
+
+    state = tree_to_numpy(state)
+    # outputs have shape (B, chunk, ...) per chunk; concatenate along steps.
+    dt = np.concatenate([np.asarray(o.dt) for o in outputs_list], axis=1)
+    valid = np.concatenate([np.asarray(o.valid) for o in outputs_list],
+                           axis=1)
+    dt = np.where(valid, dt, 0.0)
+    mu_p = np.concatenate([np.asarray(o.mu_probe) for o in outputs_list],
+                          axis=1)  # (B, T, P)
+    th_p = np.concatenate([np.asarray(o.theta_probe) for o in outputs_list],
+                          axis=1)
+    return SweepResult(
+        values=scales,
+        psi=np.asarray(state.psi),
+        mu=np.asarray(state.mu),
+        supercurrent=np.asarray(state.supercurrent),
+        normal_current=np.asarray(state.normal_current),
+        dynamics_dt=dt,
+        dynamics_mu=np.transpose(mu_p, (0, 2, 1)),
+        dynamics_theta=np.transpose(th_p, (0, 2, 1)),
+        steps=np.asarray(state.step),
+    )

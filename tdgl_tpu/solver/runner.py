@@ -28,6 +28,7 @@ import h5py
 import numpy as np
 from tqdm import tqdm
 
+from ..utils.jaxio import host_scalar, to_numpy, tree_to_numpy
 from .options import SolverOptions
 from .step import SolverState, StepOutputs
 
@@ -260,9 +261,7 @@ class Runner:
     # -- internals -----------------------------------------------------------
     def _save_snapshot(self, running_state: Optional[Dict[str, np.ndarray]]
                        ) -> None:
-        import jax
-
-        state = jax.device_get(self.state)
+        state = tree_to_numpy(self.state)
         attrs = dict(
             step=int(state.step),
             time=float(state.time),
@@ -313,23 +312,23 @@ class Runner:
                     if self.host_update_fn is not None:
                         self.state = self.host_update_fn(self.state)
                     self.state, outputs = self.chunk_fn(self.state)
-                    outputs = jax.device_get(outputs)
+                    outputs = tree_to_numpy(outputs)
                     n_valid = int(np.sum(outputs.valid))
-                    if bool(jax.device_get(self.state.failed)):
+                    if bool(host_scalar(self.state.failed)):
                         raise RuntimeError(
                             f"Solver failed to converge at step"
-                            f" {int(jax.device_get(self.state.step))} of stage"
+                            f" {int(host_scalar(self.state.step))} of stage"
                             f" {name!r}: the time step underflowed"
                             f" ({options.max_solve_retries} retries) or the"
                             " screening iteration hit"
                             f" {options.max_iterations_per_step} iterations."
                             " Try a smaller dt_init."
                         )
-                    now = float(jax.device_get(self.state.time))
+                    now = float(host_scalar(self.state.time))
                     pbar.update(min(now, end_time) - min(prev_time, end_time))
                     prev_time = now
                     if prog_disabled:
-                        step_now = int(jax.device_get(self.state.step))
+                        step_now = int(host_scalar(self.state.step))
                         t = _time.perf_counter()
                         rate = (step_now - steps_at_report) / max(
                             t - last_report, 1e-9
@@ -339,7 +338,7 @@ class Runner:
                             f"{name}: Time {now:.3f}/{end_time},"
                             f" {rate:.2f} it/s"
                         )
-                    done = bool(jax.device_get(self.state.done))
+                    done = bool(host_scalar(self.state.done))
                     if save and n_valid:
                         self.running_state.fill_from_outputs(
                             outputs, n_valid, options.include_screening
@@ -348,7 +347,7 @@ class Runner:
                     if done or n_valid < self.chunk_size:
                         break
                 except KeyboardInterrupt:
-                    step_now = int(jax.device_get(self.state.step))
+                    step_now = int(host_scalar(self.state.step))
                     msg = f"{{}} simulation at step {step_now} of stage {name!r}."
                     if options.pause_on_interrupt:
                         response = input(

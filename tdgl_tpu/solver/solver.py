@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..device.device import Device, TerminalInfo
+from ..utils.jaxio import host_scalar, to_numpy
 from ..fv.operators import build_operators
 from ..parameter import Parameter
 from ..sources.constant import ConstantField
@@ -223,15 +224,17 @@ class TDGLSolver:
         self.host_op = host_op
 
         # --- screening weights ------------------------------------------------
-        screening_weights = None
         if options.include_screening:
             # weight_s = [mu_0/(4 pi) K0/A0] * xi * a_s (dimensionless a, r).
             A_scale_scr = (
                 (ureg("mu_0") / (4 * np.pi) * K0 / A0).to(1 / length_units)
             ).magnitude
-            screening_weights = jnp.asarray(
+            self._screening_weights = jnp.asarray(
                 (A_scale_scr * xi) * np.asarray(mesh.areas), dtype=self.rdtype
             )
+        else:
+            self._screening_weights = jnp.zeros(len(mesh.sites),
+                                                dtype=self.rdtype)
 
         # --- initial state -----------------------------------------------------
         n_sites = len(mesh.sites)
@@ -278,6 +281,13 @@ class TDGLSolver:
                                            **_p.kwargs))
 
         dt_max = options.dt_max if options.adaptive else options.dt_init
+        poisson_tol = float(options.poisson_tolerance)
+        if options.include_screening:
+            # The Polyak fixed point compares successive induced vector
+            # potentials; mu-solve noise enters through the normal current,
+            # so CG must converge well below the screening tolerance.
+            poisson_tol = min(poisson_tol,
+                              1e-2 * float(options.screening_tolerance))
         self.cfg = StepConfig(
             gamma=float(self.gamma),
             u=float(self.u),
@@ -294,14 +304,13 @@ class TDGLSolver:
             screening_step_size=float(options.screening_step_size),
             screening_step_drag=float(options.screening_step_drag),
             max_iterations_per_step=int(options.max_iterations_per_step),
-            poisson_tolerance=float(options.poisson_tolerance),
+            poisson_tolerance=poisson_tol,
             poisson_max_iterations=int(options.poisson_max_iterations),
             probe_ix=(tuple(self.probe_points)
                       if self.probe_points is not None else None),
             A_fn=A_fn,
             eps_fn=eps_fn,
             mu_boundary_fn=None,
-            screening_weights=screening_weights,
         )
         if self.host_dynamic:
             self.chunk_size = 1
@@ -313,7 +322,12 @@ class TDGLSolver:
             self.chunk_size = min(self.chunk_size, options.save_every)
             if options.save_every % self.chunk_size:
                 self.chunk_size = options.save_every
-        self.chunk_fn = make_chunk_fn(self.op, self.cfg, self.chunk_size)
+        self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
+        # The operator tables and screening weights are traced arguments of
+        # the compiled chunk (not baked-in constants).
+        self.chunk_fn = lambda state: self._raw_chunk_fn(
+            self.op, self._screening_weights, state
+        )
 
     # -- host-side evaluation helpers ---------------------------------------
     def _eval_A(self, time: float) -> np.ndarray:
@@ -358,12 +372,12 @@ class TDGLSolver:
     def _host_update(self, state: SolverState) -> SolverState:
         """Evaluate non-traceable time-dependent inputs on the host
         (chunk size 1)."""
-        time = float(jax.device_get(state.time))
+        time = float(host_scalar(state.time))
         updates = {}
         if self.dynamic_vector_potential and not self._jittable_A:
             A_new = self._eval_A(time)
-            prev = np.asarray(jax.device_get(state.A_applied))
-            prev_dt = float(jax.device_get(state.prev_dt))
+            prev = to_numpy(state.A_applied)
+            prev_dt = float(host_scalar(state.prev_dt))
             ndirs = (self.host_op.edge_directions
                      / np.linalg.norm(self.host_op.edge_directions, axis=1,
                                       keepdims=True))
@@ -425,16 +439,16 @@ class TDGLSolver:
 
     def _state_to_arrays(self, state: SolverState) -> Dict[str, np.ndarray]:
         data = dict(
-            psi=np.asarray(state.psi),
-            mu=np.asarray(state.mu),
-            supercurrent=np.asarray(state.supercurrent),
-            normal_current=np.asarray(state.normal_current),
-            induced_vector_potential=np.asarray(state.A_induced),
+            psi=to_numpy(state.psi),
+            mu=to_numpy(state.mu),
+            supercurrent=to_numpy(state.supercurrent),
+            normal_current=to_numpy(state.normal_current),
+            induced_vector_potential=to_numpy(state.A_induced),
         )
         if self.dynamic_vector_potential:
-            data["applied_vector_potential"] = np.asarray(state.A_applied)
+            data["applied_vector_potential"] = to_numpy(state.A_applied)
         if self.dynamic_epsilon:
-            data["epsilon"] = np.asarray(state.epsilon)
+            data["epsilon"] = to_numpy(state.epsilon)
         return data
 
     # -- main entry point ----------------------------------------------------------

@@ -28,6 +28,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import gtdgl
 from ..ops.cg import solve_mu_poisson
@@ -95,20 +96,22 @@ class StepConfig:
     A_fn: Optional[Callable] = None           # t -> (E, 2)
     eps_fn: Optional[Callable] = None         # t -> (N,)
     mu_boundary_fn: Optional[Callable] = None  # t -> (B,)
-    # Screening prefactor per site: A_scale * xi * voronoi_area (so that
-    # A_induced = sum_s J_site[s] * weight[s] / |r_e - r_s| in dimensionless
-    # coordinates). None disables screening weights.
-    screening_weights: Optional[jax.Array] = None
 
 
-def make_step_fn(op, cfg: StepConfig):
-    """Build the single-step function ``state -> (state, outputs)``."""
-    n_sites = op.areas.shape[0]
-    rdtype = op.areas.dtype
-    probe_ix = (jnp.asarray(cfg.probe_ix, dtype=jnp.int32)
-                if cfg.probe_ix else jnp.zeros((0,), jnp.int32))
+def make_step_fn(cfg: StepConfig):
+    """Build the single-step function
+    ``(op, screening_weights, state) -> (state, outputs)``.
 
-    def euler_with_retries(U, psi, old_sq, mu, epsilon, dt0):
+    ``op`` (the FV operator tables) and ``screening_weights`` (per-site
+    screening prefactor ``A_scale * xi * area``, or a dummy array when
+    screening is off) are traced arguments, NOT closed-over constants — this
+    keeps multi-megabyte mesh tables out of the compiled program text and
+    avoids device->host fetches during lowering.
+    """
+    probe_ix = (np.asarray(cfg.probe_ix, dtype=np.int32)
+                if cfg.probe_ix else np.zeros((0,), np.int32))
+
+    def euler_with_retries(op, rdtype, U, psi, old_sq, mu, epsilon, dt0):
         """Adaptive Euler update with dt-shrinking retries
         (``solver.py:441-487``)."""
         res0 = gtdgl.implicit_euler_psi(
@@ -123,21 +126,26 @@ def make_step_fn(op, cfg: StepConfig):
                                    tries <= cfg.max_solve_retries)
 
         def body(carry):
+            # Gate every update on `ok` so the loop is vmap-safe: under vmap,
+            # while_loop applies the body to already-converged batch members.
             dt, psi_n, sq_n, ok, tries = carry
-            dt = dt * cfg.adaptive_time_step_multiplier
+            dt_try = jnp.where(ok, dt, dt * cfg.adaptive_time_step_multiplier)
             res = gtdgl.implicit_euler_psi(
-                op, U, psi, old_sq, mu, epsilon, cfg.gamma, cfg.u, dt
+                op, U, psi, old_sq, mu, epsilon, cfg.gamma, cfg.u, dt_try
             )
-            return (dt, res.psi, res.abs_sq_psi, res.ok, tries + 1)
+            psi_out = jnp.where(ok, psi_n, res.psi)
+            sq_out = jnp.where(ok, sq_n, res.abs_sq_psi)
+            return (dt_try, psi_out, sq_out, jnp.logical_or(ok, res.ok),
+                    tries + 1)
 
         dt, psi_n, sq_n, ok, tries = jax.lax.while_loop(
             cond, body,
             (jnp.asarray(dt0, rdtype), res0.psi, res0.abs_sq_psi, res0.ok,
-             jnp.array(0, jnp.int32)),
+             np.int32(0)),
         )
         return psi_n, sq_n, dt, jnp.logical_not(ok)
 
-    def observables(U, psi, dA_dt, mu_boundary, mu_guess):
+    def observables(op, U, psi, dA_dt, mu_boundary, mu_guess):
         """Supercurrent, mu (CG), and normal current (``solver.py:489-520``)."""
         J_s = gtdgl.supercurrent_on_edges(op, U, psi)
         rhs = gtdgl.poisson_rhs(op, J_s, dA_dt, mu_boundary)
@@ -148,7 +156,9 @@ def make_step_fn(op, cfg: StepConfig):
         J_n = -gtdgl.gradient_on_edges(op, cg.x) - dA_dt
         return J_s, cg.x, J_n, cg.iterations
 
-    def step(state: SolverState):
+    def step(op, screening_weights, state: SolverState):
+        n_sites = op.areas.shape[0]
+        rdtype = state.mu.dtype
         time = state.time
         # --- time-dependent inputs (fast, traced path) ---
         if cfg.A_fn is not None:
@@ -181,15 +191,15 @@ def make_step_fn(op, cfg: StepConfig):
                        else A_applied)
             U = gtdgl.edge_link_phases(A_total, op.edge_directions)
             psi_n, sq_n, dt_used, fail = euler_with_retries(
-                U, psi_in, old_sq, mu_in, epsilon, dt
+                op, rdtype, U, psi_in, old_sq, mu_in, epsilon, dt
             )
             J_s, mu_n, J_n, cg_iters = observables(
-                U, psi_n, dA_dt, mu_boundary, mu_in
+                op, U, psi_n, dA_dt, mu_boundary, mu_in
             )
             return psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters
 
         if cfg.include_screening:
-            big = jnp.asarray(1e30, rdtype)
+            big = np.asarray(1e30, rdtype)
 
             def s_cond(carry):
                 (s, err, *_rest) = carry
@@ -201,31 +211,50 @@ def make_step_fn(op, cfg: StepConfig):
             def s_body(carry):
                 (s, err, dt, A_ind, velocity, psi_n, sq_n, mu_n, J_s, J_n,
                  fail, cg_iters) = carry
-                psi_n, sq_n, mu_n, J_s, J_n, dt, fail_i, cg_iters = tdgl_update(
-                    psi_n, mu_n, A_ind, dt
-                )
-                J_site = gtdgl.edge_quantity_to_sites(op, J_s + J_n, n_sites)
-                Jw = J_site * cfg.screening_weights[:, None].astype(rdtype)
+                # Gate on convergence for vmap-safety (see euler retries).
+                converged = err < cfg.screening_tolerance
+                (psi_u, sq_u, mu_u, J_s_u, J_n_u, dt_u, fail_i,
+                 cg_iters_u) = tdgl_update(psi_n, mu_n, A_ind, dt)
+                J_site = gtdgl.edge_quantity_to_sites(op, J_s_u + J_n_u,
+                                                      n_sites)
+                Jw = J_site * screening_weights[:, None].astype(rdtype)
                 A_new = induced_vector_potential(
                     op.edge_centers.astype(rdtype), op.sites.astype(rdtype),
                     Jw,
                 )
                 dA = A_new - A_ind
-                velocity = ((1.0 - cfg.screening_step_drag) * velocity
-                            + cfg.screening_step_size * dA)
-                A_ind = A_ind + velocity
-                err = jnp.max(
+                velocity_u = ((1.0 - cfg.screening_step_drag) * velocity
+                              + cfg.screening_step_size * dA)
+                A_ind_u = A_ind + velocity_u
+                err_u = jnp.max(
                     jnp.linalg.norm(dA, axis=1)
-                    / jnp.maximum(jnp.linalg.norm(A_ind, axis=1), 1e-20)
+                    / jnp.maximum(jnp.linalg.norm(A_ind_u, axis=1), 1e-20)
                 )
-                return (s + 1, err, dt, A_ind, velocity, psi_n, sq_n, mu_n,
-                        J_s, J_n, jnp.logical_or(fail, fail_i), cg_iters)
+
+                def keep(old, new):
+                    return jnp.where(converged, old, new)
+
+                return (
+                    s + jnp.where(converged, 0, 1),
+                    keep(err, err_u),
+                    keep(dt, dt_u),
+                    keep(A_ind, A_ind_u),
+                    keep(velocity, velocity_u),
+                    keep(psi_n, psi_u),
+                    keep(sq_n, sq_u),
+                    keep(mu_n, mu_u),
+                    keep(J_s, J_s_u),
+                    keep(J_n, J_n_u),
+                    jnp.logical_or(fail, jnp.logical_and(
+                        fail_i, jnp.logical_not(converged))),
+                    keep(cg_iters, cg_iters_u),
+                )
 
             zeros_e = jnp.zeros(op.edges.shape[0], rdtype)
             init = (
-                jnp.array(0, jnp.int32), big, dt0, state.A_induced,
+                np.int32(0), big, dt0, state.A_induced,
                 jnp.zeros_like(state.A_induced), state.psi, old_sq, state.mu,
-                zeros_e, zeros_e, jnp.array(False), jnp.array(0, jnp.int32),
+                zeros_e, zeros_e, np.bool_(False), np.int32(0),
             )
             (s, err, dt_used, A_induced, _vel, psi_n, sq_n, mu_n, J_s, J_n,
              fail, cg_iters) = jax.lax.while_loop(s_cond, s_body, init)
@@ -236,7 +265,7 @@ def make_step_fn(op, cfg: StepConfig):
                 state.psi, state.mu, state.A_induced, dt0
             )
             A_induced = state.A_induced
-            screening_iters = jnp.array(0, jnp.int32)
+            screening_iters = np.int32(0)
 
         # --- adaptive time-step selection (``solver.py:698-707``) ---
         d_psi_sq = jnp.max(jnp.abs(sq_n - old_sq))
@@ -281,45 +310,47 @@ def make_step_fn(op, cfg: StepConfig):
             theta_probe=jnp.angle(psi_n[probe_ix]),
             screening_iterations=screening_iters,
             cg_iterations=cg_iters,
-            valid=jnp.array(True),
+            valid=np.bool_(True),
         )
         return new_state, outputs
 
     return step
 
 
-def make_chunk_fn(op, cfg: StepConfig, chunk_size: int):
-    """Build a jitted function advancing up to ``chunk_size`` steps.
+def make_chunk_fn(cfg: StepConfig, chunk_size: int):
+    """Build a jitted function ``(op, screening_weights, state) ->
+    (state, outputs)`` advancing up to ``chunk_size`` steps.
 
     Steps after ``done`` pass the state through unchanged and emit
     ``valid=False`` outputs, so shapes stay static while the host controls
     stage boundaries.
     """
-    step_fn = make_step_fn(op, cfg)
+    step_fn = make_step_fn(cfg)
     n_probe = len(cfg.probe_ix) if cfg.probe_ix else 0
-    rdtype = op.areas.dtype
-
-    def zero_outputs():
-        z = jnp.zeros((), rdtype)
-        return StepOutputs(
-            dt=z, time=z,
-            mu_probe=jnp.zeros(n_probe, rdtype),
-            theta_probe=jnp.zeros(n_probe, rdtype),
-            screening_iterations=jnp.array(0, jnp.int32),
-            cg_iterations=jnp.array(0, jnp.int32),
-            valid=jnp.array(False),
-        )
-
-    def scan_body(state, _):
-        return jax.lax.cond(
-            state.done,
-            lambda st: (st, zero_outputs()),
-            step_fn,
-            state,
-        )
 
     @jax.jit
-    def chunk_fn(state: SolverState):
+    def chunk_fn(op, screening_weights, state: SolverState):
+        rdtype = state.mu.dtype
+
+        def zero_outputs():
+            z = np.zeros((), rdtype)
+            return StepOutputs(
+                dt=z, time=z,
+                mu_probe=np.zeros(n_probe, rdtype),
+                theta_probe=np.zeros(n_probe, rdtype),
+                screening_iterations=np.int32(0),
+                cg_iterations=np.int32(0),
+                valid=np.bool_(False),
+            )
+
+        def scan_body(state, _):
+            return jax.lax.cond(
+                state.done,
+                lambda st: (st, zero_outputs()),
+                lambda st: step_fn(op, screening_weights, st),
+                state,
+            )
+
         return jax.lax.scan(scan_body, state, xs=None, length=chunk_size)
 
     return chunk_fn
