@@ -46,11 +46,12 @@ def convert_field(
     target = ureg(new_units)
     if target.dims == quantity.dims:
         out = quantity.to(new_units)
-    elif quantity.dims[0] > target.dims[0]:
-        # H ([current]/[length], length exponent -1) -> B = mu0 * H
+    elif quantity.dims[0] < target.dims[0]:
+        # quantity is H ([current]/[length], length exponent -1) and the
+        # target is B (length exponent 0): B = mu0 * H
         out = (quantity * ureg("mu_0")).to(new_units)
     else:
-        # B -> H = B / mu0
+        # quantity is B, target is H: H = B / mu0
         out = (quantity / ureg("mu_0")).to(new_units)
     if not with_units:
         return out.magnitude
