@@ -49,24 +49,30 @@ def main():
           f" {len(device.mesh.edge_mesh.edges)} edges"
           f" ({time.perf_counter() - t_setup:.1f}s setup)", file=sys.stderr)
 
+    # A field strong enough to drive vortex entry and sustained motion, so
+    # the benchmark measures live TDGL dynamics (psi update + CG Poisson
+    # solve doing real work), not a frozen equilibrium.
     options = tdgl.SolverOptions(
         solve_time=1e9,           # run by step count, not simulation time
         dt_init=1e-4,
-        dt_max=1e-1,
+        dt_max=1e-2,
         save_every=500,
         field_units="mT",
         current_units="uA",
         dtype="float32",
     )
-    solver = TDGLSolver(device, options, applied_vector_potential=0.05)
+    solver = TDGLSolver(device, options, applied_vector_potential=0.5)
     state = solver._initial_state()
     chunk_fn = solver.chunk_fn
     chunk = solver.chunk_size
 
-    # Warmup: compile + let adaptive dt settle.
+    # Warmup: compile + let adaptive dt settle + vortices enter.
     import jax
 
-    state, _ = chunk_fn(state)
+    from tdgl_tpu.utils.jaxio import to_numpy, tree_to_numpy
+
+    for _ in range(2):
+        state, _, _exported = chunk_fn(state)
     jax.block_until_ready(state.psi)
     print(f"# compiled; backend={jax.default_backend()}", file=sys.stderr)
 
@@ -74,11 +80,26 @@ def main():
     n_chunks = max(4, 4000 // chunk)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, _ = chunk_fn(state)
+        state, outputs, exported_dev = chunk_fn(state)
     jax.block_until_ready(state.psi)
     elapsed = time.perf_counter() - t0
     steps = n_chunks * chunk
     steps_per_sec = steps / elapsed
+
+    # Sanity: the run must be live (not failed/done/frozen). All host reads
+    # come from the chunk program's own exported outputs.
+    exported = tree_to_numpy(exported_dev)
+    diag = exported["diagnostics"]
+    assert not bool(diag[5]), "solver failed during bench"
+    assert not bool(diag[4]), "bench steps were no-ops"
+    n_valid = int(np.sum(to_numpy(outputs.valid)))
+    assert n_valid == chunk, f"only {n_valid}/{chunk} steps ran"
+    psi_abs = np.abs(exported["psi_real"] + 1j * exported["psi_imag"])
+    print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
+          f" time={diag[0]:.2f},"
+          f" mean cg iters={np.mean(to_numpy(outputs.cg_iterations)):.1f}",
+          file=sys.stderr)
+    assert psi_abs.min() < 0.9, "no vortices: benchmark not exercising dynamics"
 
     target = 1e4  # BASELINE.md north-star target
     print(json.dumps({

@@ -52,8 +52,24 @@ class Mesh:
         self.areas = None if areas is None else np.asarray(areas)
         self.dual_sites = None if dual_sites is None else np.asarray(dual_sites)
         self.edge_mesh = edge_mesh
-        self.voronoi_polygons = voronoi_polygons
+        self._voronoi_polygons = voronoi_polygons
         self._center_of_mass: Optional[Tuple[float, float]] = None
+
+    @property
+    def voronoi_polygons(self) -> Optional[List[np.ndarray]]:
+        """Per-site Voronoi cell vertex arrays (computed lazily: only
+        plotting and full HDF5 serialization need them)."""
+        if self._voronoi_polygons is None and self.edge_mesh is not None:
+            self._voronoi_polygons = build_voronoi_polygons(
+                self.sites, self.elements, self.dual_sites,
+                self.edge_mesh.edges, self.edge_mesh.boundary_edge_indices,
+                self.boundary_indices,
+            )
+        return self._voronoi_polygons
+
+    @voronoi_polygons.setter
+    def voronoi_polygons(self, value) -> None:
+        self._voronoi_polygons = value
 
     @property
     def x(self) -> np.ndarray:
@@ -104,10 +120,7 @@ class Mesh:
             dual_sites = circumcenters(sites, elements)
             edge_mesh = EdgeMesh.from_mesh(sites, elements, dual_sites)
             areas = voronoi_site_areas(sites, elements, dual_sites)
-            polygons = build_voronoi_polygons(
-                sites, elements, dual_sites, edge_mesh.edges,
-                edge_mesh.boundary_edge_indices, boundary_indices,
-            )
+            # Voronoi cell polygons are built lazily on first access.
         return Mesh(
             sites=sites,
             elements=elements,

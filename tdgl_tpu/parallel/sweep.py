@@ -26,7 +26,8 @@ from ..device.device import Device
 from ..utils.jaxio import to_numpy, tree_to_numpy
 from ..solver.options import SolverOptions
 from ..solver.solver import TDGLSolver
-from ..solver.step import SolverState, StepOutputs, make_chunk_fn
+from ..solver.step import (SolverState, StepOutputs, export_diagnostics,
+                           export_state_arrays, make_chunk_fn)
 
 
 @dataclass
@@ -169,19 +170,22 @@ def solve_sweep(
     outputs_list: List[StepOutputs] = []
     state = batched
     total = 0
+    exported = None
     while total < max_steps:
-        state, outputs = batched_chunk(
+        state, outputs, exported_dev = batched_chunk(
             solver.op, solver._screening_weights, state
         )
         outputs = tree_to_numpy(outputs)
         outputs_list.append(outputs)
         total += chunk_size
-        if bool(np.all(to_numpy(state.done))):
+        exported = tree_to_numpy(exported_dev)
+        # Under vmap the (6,) diagnostics vector becomes (B, 6).
+        diag = exported["diagnostics"]
+        if bool(np.all(diag[:, 4] > 0)):
             break
-    if bool(np.any(to_numpy(state.failed))):
+    diag = exported["diagnostics"]
+    if bool(np.any(diag[:, 5] > 0)):
         raise RuntimeError("One or more sweep members failed to converge.")
-
-    state = tree_to_numpy(state)
     # outputs have shape (B, chunk, ...) per chunk; concatenate along steps.
     dt = np.concatenate([np.asarray(o.dt) for o in outputs_list], axis=1)
     valid = np.concatenate([np.asarray(o.valid) for o in outputs_list],
@@ -193,12 +197,12 @@ def solve_sweep(
                           axis=1)
     return SweepResult(
         values=scales,
-        psi=np.asarray(state.psi),
-        mu=np.asarray(state.mu),
-        supercurrent=np.asarray(state.supercurrent),
-        normal_current=np.asarray(state.normal_current),
+        psi=exported["psi_real"] + 1j * exported["psi_imag"],
+        mu=exported["mu"],
+        supercurrent=exported["supercurrent"],
+        normal_current=exported["normal_current"],
         dynamics_dt=dt,
         dynamics_mu=np.transpose(mu_p, (0, 2, 1)),
         dynamics_theta=np.transpose(th_p, (0, 2, 1)),
-        steps=np.asarray(state.step),
+        steps=exported["diagnostics"][:, 3].astype(int),
     )

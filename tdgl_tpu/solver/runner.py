@@ -214,6 +214,7 @@ class Runner:
         state_to_arrays: Callable[[SolverState], Dict[str, np.ndarray]],
         running_names_and_sizes: Dict[str, int],
         chunk_size: int,
+        initial_export: Optional[Dict[str, np.ndarray]] = None,
         host_update_fn: Optional[Callable] = None,
         monitor: bool = False,
         monitor_update_interval: float = 1.0,
@@ -225,6 +226,10 @@ class Runner:
         self.data_handler = data_handler
         self.state_to_arrays = state_to_arrays
         self.chunk_size = chunk_size
+        # Host view of the latest state (updated after every chunk); the
+        # initial value is built host-side so no device program is needed
+        # before the first chunk.
+        self._last_export = initial_export
         self.host_update_fn = host_update_fn
         self.monitor = monitor
         self.monitor_update_interval = monitor_update_interval
@@ -255,20 +260,25 @@ class Runner:
                 prev_dt=jnp.asarray(options.dt_init, self.state.prev_dt.dtype),
                 done=jnp.array(False),
             )
+            # Patch the host view's scalar diagnostics to the reset values.
+            diag = np.array(self._last_export["diagnostics"])
+            diag[0] = 0.0           # time
+            diag[1] = options.dt_init  # prev_dt
+            diag[3] = 0.0           # step
+            diag[4] = 0.0           # done
+            self._last_export = dict(self._last_export, diagnostics=diag)
         self._run_stage("Simulating", options.solve_time, save=True)
         return True
 
     # -- internals -----------------------------------------------------------
     def _save_snapshot(self, running_state: Optional[Dict[str, np.ndarray]]
                        ) -> None:
-        state = tree_to_numpy(self.state)
-        attrs = dict(
-            step=int(state.step),
-            time=float(state.time),
-            dt=float(state.prev_dt),
-        )
+        exported = dict(self._last_export)
+        diag = exported.pop("diagnostics")
+        attrs = dict(step=int(diag[3]), time=float(diag[0]),
+                     dt=float(diag[1]))
         self.data_handler.save_time_step(
-            attrs, self.state_to_arrays(state), running_state
+            attrs, self.state_to_arrays(exported), running_state
         )
 
     def _start_monitor(self) -> None:
@@ -311,24 +321,26 @@ class Runner:
                 try:
                     if self.host_update_fn is not None:
                         self.state = self.host_update_fn(self.state)
-                    self.state, outputs = self.chunk_fn(self.state)
+                    self.state, outputs, exported = self.chunk_fn(self.state)
                     outputs = tree_to_numpy(outputs)
+                    self._last_export = tree_to_numpy(exported)
                     n_valid = int(np.sum(outputs.valid))
-                    if bool(host_scalar(self.state.failed)):
+                    diag = self._last_export["diagnostics"]
+                    if bool(diag[5]):
                         raise RuntimeError(
                             f"Solver failed to converge at step"
-                            f" {int(host_scalar(self.state.step))} of stage"
+                            f" {int(diag[3])} of stage"
                             f" {name!r}: the time step underflowed"
                             f" ({options.max_solve_retries} retries) or the"
                             " screening iteration hit"
                             f" {options.max_iterations_per_step} iterations."
                             " Try a smaller dt_init."
                         )
-                    now = float(host_scalar(self.state.time))
+                    now = float(diag[0])
                     pbar.update(min(now, end_time) - min(prev_time, end_time))
                     prev_time = now
                     if prog_disabled:
-                        step_now = int(host_scalar(self.state.step))
+                        step_now = int(diag[3])
                         t = _time.perf_counter()
                         rate = (step_now - steps_at_report) / max(
                             t - last_report, 1e-9
@@ -338,7 +350,7 @@ class Runner:
                             f"{name}: Time {now:.3f}/{end_time},"
                             f" {rate:.2f} it/s"
                         )
-                    done = bool(host_scalar(self.state.done))
+                    done = bool(diag[4])
                     if save and n_valid:
                         self.running_state.fill_from_outputs(
                             outputs, n_valid, options.include_screening
@@ -347,7 +359,8 @@ class Runner:
                     if done or n_valid < self.chunk_size:
                         break
                 except KeyboardInterrupt:
-                    step_now = int(host_scalar(self.state.step))
+                    step_now = (int(self._last_export["diagnostics"][3])
+                                if self._last_export is not None else -1)
                     msg = f"{{}} simulation at step {step_now} of stage {name!r}."
                     if options.pause_on_interrupt:
                         response = input(

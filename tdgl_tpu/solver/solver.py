@@ -417,6 +417,22 @@ class TDGLSolver:
             normal_current = np.zeros(n_edges, dtype=self.rdtype)
             A_induced = np.zeros((n_edges, 2), dtype=self.rdtype)
         rd = self.rdtype
+        # Host-side export view of the initial state (used for the step-0
+        # snapshot; no device round trip needed).
+        self._initial_export = dict(
+            psi_real=np.real(psi).astype(rd),
+            psi_imag=np.imag(psi).astype(rd),
+            mu=np.asarray(mu, rd),
+            supercurrent=np.asarray(supercurrent, rd),
+            normal_current=np.asarray(normal_current, rd),
+            induced_vector_potential=np.asarray(A_induced, rd),
+            applied_vector_potential=self.current_A_applied.astype(rd),
+            epsilon=np.asarray(self.epsilon, rd),
+            diagnostics=np.array(
+                [0.0, options.dt_init, options.dt_init, 0.0, 0.0, 0.0],
+                np.float32,
+            ),
+        )
         return SolverState(
             psi=jnp.asarray(psi),
             mu=jnp.asarray(mu),
@@ -437,18 +453,23 @@ class TDGLSolver:
             failed=jnp.asarray(False),
         )
 
-    def _state_to_arrays(self, state: SolverState) -> Dict[str, np.ndarray]:
+    def _state_to_arrays(self, exported: Dict[str, np.ndarray]
+                         ) -> Dict[str, np.ndarray]:
+        """Convert the (host numpy) exported-state dict from
+        ``step.export_state_arrays`` into the snapshot schema."""
         data = dict(
-            psi=to_numpy(state.psi),
-            mu=to_numpy(state.mu),
-            supercurrent=to_numpy(state.supercurrent),
-            normal_current=to_numpy(state.normal_current),
-            induced_vector_potential=to_numpy(state.A_induced),
+            psi=exported["psi_real"] + 1j * exported["psi_imag"],
+            mu=exported["mu"],
+            supercurrent=exported["supercurrent"],
+            normal_current=exported["normal_current"],
+            induced_vector_potential=exported["induced_vector_potential"],
         )
         if self.dynamic_vector_potential:
-            data["applied_vector_potential"] = to_numpy(state.A_applied)
+            data["applied_vector_potential"] = exported[
+                "applied_vector_potential"
+            ]
         if self.dynamic_epsilon:
-            data["epsilon"] = to_numpy(state.epsilon)
+            data["epsilon"] = exported["epsilon"]
         return data
 
     # -- main entry point ----------------------------------------------------------
@@ -495,6 +516,7 @@ class TDGLSolver:
                 state_to_arrays=self._state_to_arrays,
                 running_names_and_sizes=running,
                 chunk_size=self.chunk_size,
+                initial_export=self._initial_export,
                 host_update_fn=(self._host_update if self.host_dynamic
                                 else None),
                 monitor=options.monitor,

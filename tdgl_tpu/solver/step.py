@@ -59,7 +59,11 @@ class SolverState(NamedTuple):
 
 
 class StepOutputs(NamedTuple):
-    """Per-step scalars recorded by the runner (cf. RunningState)."""
+    """Per-step scalars recorded by the runner (cf. RunningState).
+
+    ``valid`` is int32 (1/0) rather than bool: some constrained backends
+    cannot transfer boolean buffers to the host.
+    """
 
     dt: jax.Array
     time: jax.Array
@@ -67,7 +71,46 @@ class StepOutputs(NamedTuple):
     theta_probe: jax.Array      # (P,)
     screening_iterations: jax.Array
     cg_iterations: jax.Array
-    valid: jax.Array            # bool — False for frozen (post-done) slots
+    valid: jax.Array            # int32 — 0 for frozen (post-done) slots
+
+
+@jax.jit
+def export_diagnostics(state: "SolverState") -> jax.Array:
+    """Scalar state fields as one float32 vector (transferable everywhere).
+
+    Returns ``[time, prev_dt, tentative_dt, step, done, failed]`` stacked on
+    a leading axis of length 6 (trailing batch axes preserved under vmap).
+    """
+    f = jnp.float32
+    return jnp.stack([
+        state.time.astype(f),
+        state.prev_dt.astype(f),
+        state.tentative_dt.astype(f),
+        state.step.astype(f),
+        state.done.astype(f),
+        state.failed.astype(f),
+    ])
+
+
+@jax.jit
+def export_state_arrays(state: "SolverState"):
+    """The full state as real-typed arrays (psi split into re/im).
+
+    One compiled program transferring only >=1-d real buffers — the robust
+    path for host snapshots on backends that cannot fetch complex/bool/0-d
+    buffers.
+    """
+    return dict(
+        psi_real=state.psi.real,
+        psi_imag=state.psi.imag,
+        mu=state.mu,
+        supercurrent=state.supercurrent,
+        normal_current=state.normal_current,
+        induced_vector_potential=state.A_induced,
+        applied_vector_potential=state.A_applied,
+        epsilon=state.epsilon,
+        diagnostics=export_diagnostics(state),
+    )
 
 
 @dataclass(frozen=True)
@@ -310,7 +353,7 @@ def make_step_fn(cfg: StepConfig):
             theta_probe=jnp.angle(psi_n[probe_ix]),
             screening_iterations=screening_iters,
             cg_iterations=cg_iters,
-            valid=np.bool_(True),
+            valid=np.int32(1),
         )
         return new_state, outputs
 
@@ -319,11 +362,17 @@ def make_step_fn(cfg: StepConfig):
 
 def make_chunk_fn(cfg: StepConfig, chunk_size: int):
     """Build a jitted function ``(op, screening_weights, state) ->
-    (state, outputs)`` advancing up to ``chunk_size`` steps.
+    (state, outputs, exported)`` advancing up to ``chunk_size`` steps.
 
     Steps after ``done`` pass the state through unchanged and emit
-    ``valid=False`` outputs, so shapes stay static while the host controls
-    stage boundaries.
+    ``valid=0`` outputs, so shapes stay static while the host controls stage
+    boundaries.
+
+    ``exported`` is the real-typed host view of the final state
+    (``export_state_arrays``), computed INSIDE the same compiled program:
+    constrained backends that cannot compile small auxiliary programs or
+    transfer complex/bool/0-d buffers only ever see one large program with
+    >=1-d real outputs.
     """
     step_fn = make_step_fn(cfg)
     n_probe = len(cfg.probe_ix) if cfg.probe_ix else 0
@@ -340,7 +389,7 @@ def make_chunk_fn(cfg: StepConfig, chunk_size: int):
                 theta_probe=np.zeros(n_probe, rdtype),
                 screening_iterations=np.int32(0),
                 cg_iterations=np.int32(0),
-                valid=np.bool_(False),
+                valid=np.int32(0),
             )
 
         def scan_body(state, _):
@@ -351,6 +400,8 @@ def make_chunk_fn(cfg: StepConfig, chunk_size: int):
                 state,
             )
 
-        return jax.lax.scan(scan_body, state, xs=None, length=chunk_size)
+        new_state, outputs = jax.lax.scan(scan_body, state, xs=None,
+                                          length=chunk_size)
+        return new_state, outputs, export_state_arrays(new_state)
 
     return chunk_fn

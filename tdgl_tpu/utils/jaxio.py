@@ -32,6 +32,22 @@ def _at_least_1d(v):
     return jnp.atleast_1d(v)
 
 
+def _fetch_with_retry(thunk, attempts: int = 4) -> np.ndarray:
+    """Run a compute+fetch thunk with backoff: the tunneled TPU backend
+    intermittently fails otherwise-valid executions/transfers with
+    UNIMPLEMENTED."""
+    import time
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return np.asarray(thunk())
+        except Exception as exc:  # jax.errors.JaxRuntimeError and friends
+            last = exc
+            time.sleep(min(2.0 * 4**attempt, 30.0))
+    raise last
+
+
 def to_numpy(x) -> np.ndarray:
     """Fetch a jax array to host, tolerating scalar/bool/complex quirks.
 
@@ -42,18 +58,25 @@ def to_numpy(x) -> np.ndarray:
         return np.asarray(x)
     if not isinstance(x, jax.Array):
         return np.asarray(x)
+    if x.size == 0:
+        # Zero-size buffers need no transfer (and some backends reject them).
+        return np.empty(x.shape, dtype=np.dtype(x.dtype))
     try:
         return np.asarray(x)
     except Exception:
         pass
     squeeze = x.ndim == 0
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        re, im = _split_complex(x)
-        out = np.asarray(re) + 1j * np.asarray(im)
+        out = (_fetch_with_retry(lambda: _split_complex(x)[0])
+               + 1j * _fetch_with_retry(lambda: _split_complex(x)[1]))
     elif x.dtype == jnp.bool_:
-        out = np.asarray(_bool_to_int(x)) != 0
+        out = _fetch_with_retry(lambda: _bool_to_int(x)) != 0
+    elif squeeze:
+        out = _fetch_with_retry(lambda: _at_least_1d(x))
     else:
-        out = np.asarray(_at_least_1d(x))
+        # Ordinary real array: the direct transfer failed transiently; retry
+        # it rather than routing through an auxiliary program.
+        out = _fetch_with_retry(lambda: x)
     return out[0] if squeeze else out
 
 
