@@ -124,32 +124,53 @@ def _segment_intersection(p1, p2, q1, q2, eps: float):
     return None
 
 
+def _find_all_intersections(subject, clipper, eps):
+    """All proper pairwise edge intersections, native (C++) when available,
+    else pure Python. Returns a list of (si, ci, t, u)."""
+    from ..native import find_intersections
+
+    native = find_intersections(subject, clipper, eps)
+    if native is not None:
+        si, ci, t, u = native
+        return list(zip(si.tolist(), ci.tolist(), t.tolist(), u.tolist()))
+    hits = []
+    n, m = len(subject), len(clipper)
+    for i in range(n):
+        p1 = subject[i]
+        p2 = subject[(i + 1) % n]
+        for j in range(m):
+            hit = _segment_intersection(
+                tuple(p1), tuple(p2),
+                tuple(clipper[j]), tuple(clipper[(j + 1) % m]), eps,
+            )
+            if hit is not None:
+                hits.append((i, j, hit[0], hit[1]))
+    return hits
+
+
 def _clip_once(subject: np.ndarray, clipper: np.ndarray, op: str,
                eps: float) -> List[np.ndarray]:
     s_first = _build_ring(subject)
     c_first = _build_ring(clipper)
 
     # Phase 1: find and insert all intersections.
+    s_verts = list(_ring_vertices(s_first))
+    c_verts = list(_ring_vertices(c_first))
+    hits = _find_all_intersections(subject, clipper, eps)
     num_intersections = 0
-    s_edges = [(v, v.next) for v in _ring_vertices(s_first)]
-    c_edges = [(w, w.next) for w in _ring_vertices(c_first)]
-    for sv, sn in s_edges:
-        for cv, cn in c_edges:
-            hit = _segment_intersection(
-                (sv.x, sv.y), (sn.x, sn.y), (cv.x, cv.y), (cn.x, cn.y), eps
-            )
-            if hit is None:
-                continue
-            t, u = hit
-            ix = sv.x + t * (sn.x - sv.x)
-            iy = sv.y + t * (sn.y - sv.y)
-            vs = _Vertex(ix, iy, alpha=t, intersect=True)
-            vc = _Vertex(ix, iy, alpha=u, intersect=True)
-            vs.neighbor = vc
-            vc.neighbor = vs
-            _insert_sorted(sv, vs)
-            _insert_sorted(cv, vc)
-            num_intersections += 1
+    for i, j, t, u in hits:
+        sv, cv = s_verts[i], c_verts[j]
+        # Compute the intersection point from the original edge endpoints.
+        p2 = subject[(i + 1) % len(subject)]
+        ix = sv.x + t * (p2[0] - sv.x)
+        iy = sv.y + t * (p2[1] - sv.y)
+        vs = _Vertex(ix, iy, alpha=t, intersect=True)
+        vc = _Vertex(ix, iy, alpha=u, intersect=True)
+        vs.neighbor = vc
+        vc.neighbor = vs
+        _insert_sorted(sv, vs)
+        _insert_sorted(cv, vc)
+        num_intersections += 1
 
     if num_intersections == 0:
         return _no_intersection_result(subject, clipper, op)

@@ -413,6 +413,17 @@ class Device:
             points / self.layer.coherence_length, triangles, create_submesh=True
         )
         self._triangulation = None
+        # The finite-volume discretization is only well-posed if every
+        # Voronoi cell has positive area (degenerate/inverted triangles
+        # violate this and make the solver diverge, not just lose accuracy).
+        min_area = float(self.mesh.areas.min())
+        if min_area <= 0:
+            raise ValueError(
+                f"Mesh generation produced a non-positive Voronoi cell area"
+                f" ({min_area:.3e}). Try different meshing parameters"
+                " (e.g. fewer smoothing iterations, a different"
+                " max_edge_length, or Polygon.resample() on the film)."
+            )
 
     def mesh_stats_dict(self) -> Dict[str, Union[float, int, str, None]]:
         """Summary statistics of the mesh."""

@@ -116,6 +116,14 @@ def _triangulate(points: np.ndarray, film: np.ndarray,
         for a, b in ((0, 1), (1, 2), (2, 0))
     ], axis=1)
     keep = edge_len.max(axis=1) <= max_edge
+    # Drop (near-)zero-area slivers — e.g. three collinear boundary points —
+    # which would produce unbounded circumcenters and corrupt the Voronoi
+    # dual (negative cell areas) after smoothing.
+    areas2 = np.abs(
+        (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+        - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0])
+    )
+    keep &= areas2 > 1e-4 * edge_len.max(axis=1) * edge_len.min(axis=1)
     centroids = p.mean(axis=1)
     keep &= points_in_polygon(centroids, film)
     for hole in holes:

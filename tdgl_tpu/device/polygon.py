@@ -41,9 +41,15 @@ def _coerce_points(obj: PolygonType) -> np.ndarray:
 
 
 def _is_simple(coords: np.ndarray) -> bool:
-    """Check that the ring has no proper self-intersections (O(n^2) sweep)."""
+    """Check that the ring has no proper self-intersections (O(n^2) sweep,
+    native C++ when available)."""
     if np.allclose(coords[0], coords[-1]):
         coords = coords[:-1]
+    from ..native import is_simple_polygon_native
+
+    native = is_simple_polygon_native(coords)
+    if native is not None:
+        return native
     n = len(coords)
     segs = np.stack([coords, np.roll(coords, -1, axis=0)], axis=1)
     for i in range(n):

@@ -176,12 +176,18 @@ def distance_to_polygon(points: np.ndarray, polygon: np.ndarray,
                         chunk_elements: int = 20_000_000) -> np.ndarray:
     """Unsigned distance from each point to the polygon boundary.
 
-    Exact point-to-segment distances, chunked over query points to bound the
-    ``(n, m, 2)`` temporaries."""
+    Exact point-to-segment distances; uses the native C++ kernel when
+    available, else chunked NumPy broadcasting."""
     points = np.atleast_2d(np.asarray(points, dtype=float))
     poly = np.asarray(polygon, dtype=float)
     if np.allclose(poly[0], poly[-1]):
         poly = poly[:-1]
+    if len(points) * len(poly) > 10_000:
+        from .native import distance_to_polygon_native
+
+        native = distance_to_polygon_native(points, poly)
+        if native is not None:
+            return native
     a = poly
     b = np.roll(poly, -1, axis=0)
     ab = b - a  # (m, 2)

@@ -68,9 +68,12 @@ def cg_solve(
     b = project(b)
     x0 = project(x0)
     b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    # Don't chase tolerances below what the working precision can deliver.
+    eps = float(jnp.finfo(rdtype).eps)
+    tol_eff = max(float(tol), 50.0 * eps)
     # np (host) constant: an eager jnp scalar would embed a 0-d device
     # constant, which some backends cannot fetch during lowering.
-    tol_sq = np.asarray(tol, rdtype) ** 2 * b_norm_sq
+    tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
 
     def M_inv(v):
         if precond_inv_diag is None:
@@ -83,23 +86,40 @@ def cg_solve(
     rz0 = jnp.sum(r0 * z0)
 
     def cond(state):
-        _, r, _, _, _, k = state
-        return jnp.logical_and(jnp.sum(r * r) > tol_sq, k < maxiter)
+        _, r, _, _, _, k, ok = state
+        return jnp.logical_and(
+            ok, jnp.logical_and(jnp.sum(r * r) > tol_sq, k < maxiter)
+        )
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, k, ok = state
         Ap = apply_A(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Ap), jnp.finfo(rdtype).tiny)
-        x = x + alpha * p
-        r = project(r - alpha * Ap)
-        z = M_inv(r)
-        rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.maximum(rz, jnp.finfo(rdtype).tiny)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        pAp = jnp.sum(p * Ap)
+        # Breakdown detection: in finite precision the curvature p^T A p can
+        # collapse to <= 0 once the residual stagnates; stepping with a
+        # clamped denominator would blow up x. Freeze instead.
+        healthy = jnp.logical_and(jnp.isfinite(pAp),
+                                  pAp > jnp.finfo(rdtype).tiny)
+        alpha = jnp.where(healthy, rz / jnp.where(healthy, pAp, 1.0), 0.0)
+        x_new = x + alpha * p
+        r_new = project(r - alpha * Ap)
+        z_new = M_inv(r_new)
+        rz_new = jnp.sum(r_new * z_new)
+        beta = jnp.where(
+            healthy, rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0
+        )
+        p_new = z_new + beta * p
 
-    x, r, _, _, _, k = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, p0, rz0, np.int32(0))
+        def keep(old, new):
+            return jnp.where(healthy, new, old)
+
+        return (keep(x, x_new), keep(r, r_new), keep(z, z_new),
+                keep(p, p_new), keep(rz, rz_new), k + 1,
+                jnp.logical_and(ok, healthy))
+
+    x, r, _, _, _, k, _ok = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, z0, p0, rz0, np.int32(0), np.bool_(True)),
     )
     res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
     return CGResult(project(x), k, res)

@@ -63,8 +63,14 @@ def test_swmr_monitor_file(tmp_path):
                         np.array(grp["psi"]))
 
         step1, psi1 = read_state()
-        time.sleep(3.0)
-        step2, psi2 = read_state()
+        # Poll until the writer advances (generous deadline: CI boxes can be
+        # heavily loaded).
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            time.sleep(2.0)
+            step2, psi2 = read_state()
+            if step2 > step1:
+                break
         assert step2 > step1
         assert psi1.shape == psi2.shape
         assert np.iscomplexobj(psi1)
