@@ -66,40 +66,74 @@ def main():
     chunk_fn = solver.chunk_fn
     chunk = solver.chunk_size
 
-    # Warmup: compile + let adaptive dt settle + vortices enter.
     import jax
 
     from tdgl_tpu.utils.jaxio import to_numpy, tree_to_numpy
 
-    for _ in range(2):
-        state, _, _exported = chunk_fn(state)
-    jax.block_until_ready(state.psi)
-    print(f"# compiled; backend={jax.default_backend()}", file=sys.stderr)
+    # Warmup + canary, with backoff: the tunneled TPU backend intermittently
+    # enters a degraded state in which dispatches silently no-op and
+    # transfers raise UNIMPLEMENTED — timings measured then are garbage, so
+    # the canary transfer must succeed before the timed region counts.
+    steps_per_sec = None
+    for attempt in range(5):
+        try:
+            for _ in range(2):
+                state, _, exported_dev = chunk_fn(state)
+            jax.block_until_ready(state.psi)
+            canary = tree_to_numpy(exported_dev)["diagnostics"]
+            assert np.isfinite(canary).all()
+            print(f"# compiled; backend={jax.default_backend()};"
+                  f" canary time={canary[0]:.3f}", file=sys.stderr)
+        except Exception as exc:
+            print(f"# attempt {attempt}: backend unhealthy"
+                  f" ({str(exc)[:60]}); backing off", file=sys.stderr)
+            time.sleep(60 * (attempt + 1))
+            continue
 
-    # Timed region.
-    n_chunks = max(4, 4000 // chunk)
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        state, outputs, exported_dev = chunk_fn(state)
-    jax.block_until_ready(state.psi)
-    elapsed = time.perf_counter() - t0
-    steps = n_chunks * chunk
-    steps_per_sec = steps / elapsed
+        # Timed region.
+        n_chunks = max(4, 4000 // chunk)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, outputs, exported_dev = chunk_fn(state)
+        jax.block_until_ready(state.psi)
+        elapsed = time.perf_counter() - t0
+        steps = n_chunks * chunk
 
-    # Sanity: the run must be live (not failed/done/frozen). All host reads
-    # come from the chunk program's own exported outputs.
-    exported = tree_to_numpy(exported_dev)
-    diag = exported["diagnostics"]
-    assert not bool(diag[5]), "solver failed during bench"
-    assert not bool(diag[4]), "bench steps were no-ops"
-    n_valid = int(np.sum(to_numpy(outputs.valid)))
-    assert n_valid == chunk, f"only {n_valid}/{chunk} steps ran"
-    psi_abs = np.abs(exported["psi_real"] + 1j * exported["psi_imag"])
-    print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
-          f" time={diag[0]:.2f},"
-          f" mean cg iters={np.mean(to_numpy(outputs.cg_iterations)):.1f}",
-          file=sys.stderr)
-    assert psi_abs.min() < 0.9, "no vortices: benchmark not exercising dynamics"
+        # Sanity: the run must be live (not failed/done/frozen). All host
+        # reads come from the chunk program's own exported outputs.
+        try:
+            exported = tree_to_numpy(exported_dev)
+            diag = exported["diagnostics"]
+            assert not bool(diag[5]), "solver failed during bench"
+            assert not bool(diag[4]), "bench steps were no-ops"
+            n_valid = int(np.sum(to_numpy(outputs.valid)))
+            assert n_valid == chunk, f"only {n_valid}/{chunk} steps ran"
+            psi_abs = np.abs(exported["psi_real"] + 1j * exported["psi_imag"])
+            print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
+                  f" time={diag[0]:.2f}, mean cg iters="
+                  f"{np.mean(to_numpy(outputs.cg_iterations)):.1f}",
+                  file=sys.stderr)
+            assert psi_abs.min() < 0.9, \
+                "no vortices: benchmark not exercising dynamics"
+            print("# sanity checks passed", file=sys.stderr)
+            steps_per_sec = steps / elapsed
+            break
+        except AssertionError:
+            raise
+        except Exception as exc:
+            print(f"# post-run transfer failed ({str(exc)[:60]});"
+                  " timing untrusted, retrying", file=sys.stderr)
+            time.sleep(60 * (attempt + 1))
+    if steps_per_sec is None:
+        print("# backend never became healthy; reporting failure",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"tdgl_steps_per_sec_{n_sites}site_mesh",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     target = 1e4  # BASELINE.md north-star target
     print(json.dumps({

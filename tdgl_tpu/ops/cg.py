@@ -47,6 +47,7 @@ def cg_solve(
     tol: float = 1e-7,
     maxiter: int = 500,
     deflate_constant: bool = True,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> CGResult:
     """Preconditioned conjugate gradients with optional constant-mode deflation.
 
@@ -76,6 +77,8 @@ def cg_solve(
     tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
 
     def M_inv(v):
+        if precond is not None:
+            return project(precond(v))
         if precond_inv_diag is None:
             return v
         return precond_inv_diag.astype(rdtype) * v
@@ -131,12 +134,15 @@ def solve_mu_poisson(
     mu_prev: jax.Array,
     tol: float = 1e-7,
     maxiter: int = 1000,
+    amg=None,
+    amg_omega: float = 0.6,
 ) -> CGResult:
     """Solve the scalar-potential Poisson equation ``L mu = rhs`` with
     ``L = diag(1/a) S``.
 
     Works on the symmetrized system ``(-S) mu = -diag(a) rhs`` (SPsD) with a
-    Jacobi preconditioner and warm start from the previous step's ``mu``.
+    Jacobi (or two-level AMG, if ``amg`` is given) preconditioner and warm
+    start from the previous step's ``mu``.
     """
     from ..models.gtdgl import scalar_laplacian_sym
 
@@ -147,10 +153,20 @@ def solve_mu_poisson(
         return -scalar_laplacian_sym(op, x)
 
     b = -(areas * rhs)
-    # Jacobi diagonal of -S: sum of edge weights per site.
-    diag = jnp.sum((op.w_lap * op.areas[:, None]).astype(rdtype), axis=1)
-    inv_diag = 1.0 / jnp.maximum(diag, jnp.finfo(rdtype).tiny)
+    precond = None
+    inv_diag = None
+    if amg is not None:
+        from .amg import make_amg_apply
+
+        apply_amg = make_amg_apply(amg_omega)
+
+        def precond(v):
+            return apply_amg(apply_A, amg, v)
+    else:
+        # Jacobi diagonal of -S: sum of edge weights per site.
+        diag = jnp.sum((op.w_lap * op.areas[:, None]).astype(rdtype), axis=1)
+        inv_diag = 1.0 / jnp.maximum(diag, jnp.finfo(rdtype).tiny)
     return cg_solve(
         apply_A, b, mu_prev, precond_inv_diag=inv_diag, tol=tol,
-        maxiter=maxiter, deflate_constant=True,
+        maxiter=maxiter, deflate_constant=True, precond=precond,
     )

@@ -160,7 +160,7 @@ def solve_sweep(
     chunk_size = solver.chunk_size
     chunk_fn = make_chunk_fn(solver.cfg, chunk_size)
     batched_chunk = jax.jit(
-        jax.vmap(chunk_fn, in_axes=(None, None, 0))
+        jax.vmap(chunk_fn, in_axes=(None, None, None, 0))
     )
 
     if max_steps is None:
@@ -173,7 +173,7 @@ def solve_sweep(
     exported = None
     while total < max_steps:
         state, outputs, exported_dev = batched_chunk(
-            solver.op, solver._screening_weights, state
+            solver.op, solver._screening_weights, solver.amg, state
         )
         outputs = tree_to_numpy(outputs)
         outputs_list.append(outputs)

@@ -101,6 +101,8 @@ class SolverOptions:
     dtype: str = "float32"
     poisson_tolerance: float = 1e-6
     poisson_max_iterations: int = 1500
+    poisson_preconditioner: str = "amg"   # "amg" (two-level) or "jacobi"
+    amg_coarsening: Optional[int] = None  # aggregate size (None = auto)
     steps_per_chunk: Optional[int] = None
 
     def validate(self) -> None:
@@ -136,6 +138,11 @@ class SolverOptions:
         if self.dtype not in ("float32", "float64"):
             raise SolverOptionsError(
                 f"dtype must be 'float32' or 'float64' (got {self.dtype})."
+            )
+        if self.poisson_preconditioner not in ("amg", "jacobi"):
+            raise SolverOptionsError(
+                "poisson_preconditioner must be 'amg' or 'jacobi'"
+                f" (got {self.poisson_preconditioner})."
             )
         if isinstance(self.sparse_solver, str):
             try:

@@ -223,6 +223,25 @@ class TDGLSolver:
         self.op = jax.tree.map(jnp.asarray, host_op)
         self.host_op = host_op
 
+        # --- mu-Poisson preconditioner ---------------------------------------
+        self._use_amg = options.poisson_preconditioner == "amg"
+        if self._use_amg:
+            from ..ops.amg import build_amg
+
+            n_sites_total = len(mesh.sites)
+            coarsening = options.amg_coarsening or max(
+                16, n_sites_total // 1200
+            )
+            host_amg = build_amg(host_op, coarsening=coarsening,
+                                 dtype=self.rdtype)
+            self.amg = jax.tree.map(jnp.asarray, host_amg)
+            logger.info(
+                "Built two-level AMG preconditioner: %d aggregates"
+                " (coarsening %d).", host_amg.Ac_inv.shape[0], coarsening,
+            )
+        else:
+            self.amg = None
+
         # --- screening weights ------------------------------------------------
         if options.include_screening:
             # weight_s = [mu_0/(4 pi) K0/A0] * xi * a_s (dimensionless a, r).
@@ -311,6 +330,7 @@ class TDGLSolver:
             A_fn=A_fn,
             eps_fn=eps_fn,
             mu_boundary_fn=None,
+            use_amg=self._use_amg,
         )
         if self.host_dynamic:
             self.chunk_size = 1
@@ -323,10 +343,10 @@ class TDGLSolver:
             if options.save_every % self.chunk_size:
                 self.chunk_size = options.save_every
         self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
-        # The operator tables and screening weights are traced arguments of
-        # the compiled chunk (not baked-in constants).
+        # The operator tables, screening weights, and AMG hierarchy are
+        # traced arguments of the compiled chunk (not baked-in constants).
         self.chunk_fn = lambda state: self._raw_chunk_fn(
-            self.op, self._screening_weights, state
+            self.op, self._screening_weights, self.amg, state
         )
 
     # -- host-side evaluation helpers ---------------------------------------

@@ -139,11 +139,16 @@ class StepConfig:
     A_fn: Optional[Callable] = None           # t -> (E, 2)
     eps_fn: Optional[Callable] = None         # t -> (N,)
     mu_boundary_fn: Optional[Callable] = None  # t -> (B,)
+    # Two-level AMG preconditioner for the mu solve (None -> Jacobi). The
+    # device arrays travel as a traced argument; only the static flag and
+    # smoothing weight live here.
+    use_amg: bool = False
+    amg_omega: float = 0.6
 
 
 def make_step_fn(cfg: StepConfig):
     """Build the single-step function
-    ``(op, screening_weights, state) -> (state, outputs)``.
+    ``(op, screening_weights, amg, state) -> (state, outputs)``.
 
     ``op`` (the FV operator tables) and ``screening_weights`` (per-site
     screening prefactor ``A_scale * xi * area``, or a dummy array when
@@ -188,18 +193,19 @@ def make_step_fn(cfg: StepConfig):
         )
         return psi_n, sq_n, dt, jnp.logical_not(ok)
 
-    def observables(op, U, psi, dA_dt, mu_boundary, mu_guess):
+    def observables(op, amg, U, psi, dA_dt, mu_boundary, mu_guess):
         """Supercurrent, mu (CG), and normal current (``solver.py:489-520``)."""
         J_s = gtdgl.supercurrent_on_edges(op, U, psi)
         rhs = gtdgl.poisson_rhs(op, J_s, dA_dt, mu_boundary)
         cg = solve_mu_poisson(
             op, rhs, mu_guess,
             tol=cfg.poisson_tolerance, maxiter=cfg.poisson_max_iterations,
+            amg=(amg if cfg.use_amg else None), amg_omega=cfg.amg_omega,
         )
         J_n = -gtdgl.gradient_on_edges(op, cg.x) - dA_dt
         return J_s, cg.x, J_n, cg.iterations
 
-    def step(op, screening_weights, state: SolverState):
+    def step(op, screening_weights, amg, state: SolverState):
         n_sites = op.areas.shape[0]
         rdtype = state.mu.dtype
         time = state.time
@@ -237,7 +243,7 @@ def make_step_fn(cfg: StepConfig):
                 op, rdtype, U, psi_in, old_sq, mu_in, epsilon, dt
             )
             J_s, mu_n, J_n, cg_iters = observables(
-                op, U, psi_n, dA_dt, mu_boundary, mu_in
+                op, amg, U, psi_n, dA_dt, mu_boundary, mu_in
             )
             return psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters
 
@@ -361,7 +367,7 @@ def make_step_fn(cfg: StepConfig):
 
 
 def make_chunk_fn(cfg: StepConfig, chunk_size: int):
-    """Build a jitted function ``(op, screening_weights, state) ->
+    """Build a jitted function ``(op, screening_weights, amg, state) ->
     (state, outputs, exported)`` advancing up to ``chunk_size`` steps.
 
     Steps after ``done`` pass the state through unchanged and emit
@@ -378,7 +384,7 @@ def make_chunk_fn(cfg: StepConfig, chunk_size: int):
     n_probe = len(cfg.probe_ix) if cfg.probe_ix else 0
 
     @jax.jit
-    def chunk_fn(op, screening_weights, state: SolverState):
+    def chunk_fn(op, screening_weights, amg, state: SolverState):
         rdtype = state.mu.dtype
 
         def zero_outputs():
@@ -396,7 +402,7 @@ def make_chunk_fn(cfg: StepConfig, chunk_size: int):
             return jax.lax.cond(
                 state.done,
                 lambda st: (st, zero_outputs()),
-                lambda st: step_fn(op, screening_weights, st),
+                lambda st: step_fn(op, screening_weights, amg, st),
                 state,
             )
 
