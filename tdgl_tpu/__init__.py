@@ -33,7 +33,9 @@ from .solution.plot_solution import (
 from .solution.solution import BiotSavartField, BoundaryPhases, Solution
 from .solver.options import SolverOptions, SolverOptionsError, SparseSolver
 from .solver.solve import solve
-from .solver.solver import TDGLSolver
+from .solver.solver import SolverResult, TDGLSolver
 from .sources import ConstantField, CurrentLoop, LinearRamp, Scale
 from .utils.units import Quantity, UnitRegistry, ureg
-from .version import __version__, __version_info__
+from .version import __git_revision__, __version__, __version_info__
+from .visualization.common import non_gui_backend
+from . import em, fluxoid, geometry, parallel, sources, visualization

@@ -49,6 +49,9 @@ class FVOperators(NamedTuple):
     nbr_sign: np.ndarray           # (N, K) float — +1 if site is edges[e, 0]
     nbr_mask: np.ndarray           # (N, K) float — 1 for real slots, 0 for pad
     w_lap: np.ndarray              # (N, K) — (dual/len)/area_i per slot
+    w_lap_rowsum: np.ndarray       # (N,) — sum_k w_lap (Laplacian diagonal)
+    w_sym: np.ndarray              # (N, K) — dual/len per slot (symmetric S)
+    w_sym_rowsum: np.ndarray       # (N,) — sum_k w_sym (diag of -S)
     w_div: np.ndarray              # (N, K) — sign*dual/area_i per slot
     # Neumann boundary scatter: term_i = sum_b vals * mu_boundary[col]
     boundary_edge_indices: np.ndarray  # (B,) int — edge index of boundary edges
@@ -109,6 +112,7 @@ def build_operators(
 
     w_edge = dual / edge_lengths  # Laplacian edge weight
     w_lap = (w_edge[nbr_edge] / areas[:, None]) * nbr_mask
+    w_sym = w_edge[nbr_edge] * nbr_mask
     w_div = (dual[nbr_edge] / areas[:, None]) * nbr_sign * nbr_mask
 
     # Neumann boundary scatter arrays.
@@ -141,6 +145,9 @@ def build_operators(
         nbr_sign=nbr_sign,
         nbr_mask=nbr_mask,
         w_lap=w_lap,
+        w_lap_rowsum=w_lap.sum(axis=1),
+        w_sym=w_sym,
+        w_sym_rowsum=w_sym.sum(axis=1),
         w_div=w_div,
         boundary_edge_indices=b_ix,
         nbl_rows=nbl_rows,

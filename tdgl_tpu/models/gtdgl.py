@@ -49,7 +49,8 @@ def covariant_laplacian(op, U: jax.Array, psi: jax.Array) -> jax.Array:
     U_dir = jnp.where(op.nbr_sign > 0, U_slot, U_slot.conj())
     psi_nbr = psi[op.nbr_site]
     w = op.w_lap.astype(psi.real.dtype)
-    lap = jnp.sum(w * (U_dir * psi_nbr), axis=1) - psi * jnp.sum(w, axis=1)
+    lap = (jnp.sum(w * (U_dir * psi_nbr), axis=1)
+           - psi * op.w_lap_rowsum.astype(psi.real.dtype))
     fixed = op.fixed_mask.astype(psi.real.dtype)
     return (1.0 - fixed) * lap + fixed * psi
 
@@ -60,8 +61,9 @@ def scalar_laplacian_sym(op, x: jax.Array) -> jax.Array:
     The mu-Poisson operator is ``L = diag(1/a) S``; CG solves with the
     symmetric ``S`` directly.
     """
-    w = (op.w_lap * op.areas[:, None]).astype(x.dtype)
-    return jnp.sum(w * x[op.nbr_site], axis=1) - x * jnp.sum(w, axis=1)
+    w = op.w_sym.astype(x.dtype)
+    return (jnp.sum(w * x[op.nbr_site], axis=1)
+            - x * op.w_sym_rowsum.astype(x.dtype))
 
 
 def gradient_on_edges(op, x: jax.Array) -> jax.Array:

@@ -163,8 +163,8 @@ def solve_mu_poisson(
         def precond(v):
             return apply_amg(apply_A, amg, v)
     else:
-        # Jacobi diagonal of -S: sum of edge weights per site.
-        diag = jnp.sum((op.w_lap * op.areas[:, None]).astype(rdtype), axis=1)
+        # Jacobi diagonal of -S: precomputed edge-weight row sums.
+        diag = op.w_sym_rowsum.astype(rdtype)
         inv_diag = 1.0 / jnp.maximum(diag, jnp.finfo(rdtype).tiny)
     return cg_solve(
         apply_A, b, mu_prev, precond_inv_diag=inv_diag, tol=tol,

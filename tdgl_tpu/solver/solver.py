@@ -20,7 +20,7 @@ import inspect
 import logging
 import numbers
 from datetime import datetime
-from typing import Callable, Dict, Optional, Sequence, Union
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,22 @@ from .runner import DataHandler, Runner
 from .step import SolverState, StepConfig, make_chunk_fn
 
 logger = logging.getLogger("solver")
+
+
+class SolverResult(NamedTuple):
+    """The per-step quantities produced by the solver (informational; the
+    compiled runtime carries them in :class:`tdgl_tpu.solver.step.SolverState`
+    instead of returning them per step). Mirrors the reference
+    ``tdgl/solver/solver.py:63-86`` for API compatibility."""
+
+    dt: float
+    psi: "np.ndarray"
+    mu: "np.ndarray"
+    supercurrent: "np.ndarray"
+    normal_current: "np.ndarray"
+    A_induced: "np.ndarray"
+    A_applied: "np.ndarray" = None
+    epsilon: "np.ndarray" = None
 
 
 def validate_terminal_currents(
