@@ -167,26 +167,30 @@ class RunningState:
         }
 
     def clear(self) -> None:
+        self._cursor = 0
         for name, size in self.names_and_sizes.items():
             self.values[name] = np.zeros((size, self.buffer_size))
 
-    def fill_from_outputs(self, outputs: StepOutputs, n_valid: int,
-                          include_screening: bool) -> None:
-        """Populate the buffer from one chunk's stacked step outputs."""
-        self.clear()
-        dt = np.asarray(outputs.dt)[:n_valid]
-        self.values["dt"][0, :n_valid] = dt
+    def append_outputs(self, outputs: StepOutputs, n_valid: int,
+                       include_screening: bool) -> None:
+        """Append one chunk's stacked step outputs at the write cursor
+        (chunks may be smaller than the save interval)."""
+        start = getattr(self, "_cursor", 0)
+        stop = min(start + n_valid, self.buffer_size)
+        m = stop - start
+        self.values["dt"][0, start:stop] = np.asarray(outputs.dt)[:m]
         if "mu" in self.values:
-            self.values["mu"][:, :n_valid] = (
-                np.asarray(outputs.mu_probe)[:n_valid].T
+            self.values["mu"][:, start:stop] = (
+                np.asarray(outputs.mu_probe)[:m].T
             )
-            self.values["theta"][:, :n_valid] = (
-                np.asarray(outputs.theta_probe)[:n_valid].T
+            self.values["theta"][:, start:stop] = (
+                np.asarray(outputs.theta_probe)[:m].T
             )
         if include_screening and "screening_iterations" in self.values:
-            self.values["screening_iterations"][0, :n_valid] = (
-                np.asarray(outputs.screening_iterations)[:n_valid]
+            self.values["screening_iterations"][0, start:stop] = (
+                np.asarray(outputs.screening_iterations)[:m]
             )
+        self._cursor = stop
 
 
 class Runner:
@@ -352,10 +356,15 @@ class Runner:
                         )
                     done = bool(diag[4])
                     if save and n_valid:
-                        self.running_state.fill_from_outputs(
+                        self.running_state.append_outputs(
                             outputs, n_valid, options.include_screening
                         )
+                    step_now = int(diag[3])
+                    at_boundary = (step_now % options.save_every) == 0
+                    if save and n_valid and (at_boundary or done
+                                             or n_valid < self.chunk_size):
                         self._save_snapshot(dict(self.running_state.values))
+                        self.running_state.clear()
                     if done or n_valid < self.chunk_size:
                         break
                 except KeyboardInterrupt:

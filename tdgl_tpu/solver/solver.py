@@ -351,13 +351,18 @@ class TDGLSolver:
         if self.host_dynamic:
             self.chunk_size = 1
         else:
-            self.chunk_size = int(
-                options.steps_per_chunk or min(options.save_every, 4096)
-            )
-            # Snapshot cadence must align with chunk boundaries.
-            self.chunk_size = min(self.chunk_size, options.save_every)
-            if options.save_every % self.chunk_size:
+            cap = int(options.steps_per_chunk or 4096)
+            if options.save_every <= cap:
                 self.chunk_size = options.save_every
+            else:
+                # Largest divisor of save_every that fits the cap, so
+                # snapshots land exactly on chunk boundaries without
+                # compiling an enormous scan.
+                divisor = 1
+                for d in range(1, cap + 1):
+                    if options.save_every % d == 0:
+                        divisor = d
+                self.chunk_size = divisor
         self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
         # The operator tables, screening weights, and AMG hierarchy are
         # traced arguments of the compiled chunk (not baked-in constants).

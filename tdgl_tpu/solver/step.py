@@ -23,6 +23,7 @@ and ``tdgl/solver/runner.py:330-454``), including:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, NamedTuple, Optional
 
@@ -366,6 +367,7 @@ def make_step_fn(cfg: StepConfig):
     return step
 
 
+@functools.lru_cache(maxsize=32)
 def make_chunk_fn(cfg: StepConfig, chunk_size: int):
     """Build a jitted function ``(op, screening_weights, amg, state) ->
     (state, outputs, exported)`` advancing up to ``chunk_size`` steps.
