@@ -92,6 +92,7 @@ class Parameter:
         self.func = func
         self.kwargs = merged
         self.time_dependent = time_dependent
+        self._num_positional = num_positional
         self._cache: dict = {}
 
     # -- evaluation ----------------------------------------------------------
@@ -128,6 +129,22 @@ class Parameter:
 
     def _clear_cache(self) -> None:
         self._cache.clear()
+
+    def evaluate_traced(self, x, y, z=None, t=None):
+        """Evaluate without host-side array coercion, for use inside jit.
+
+        Only valid when ``jittable=True``: calls ``func`` directly with the
+        given (possibly traced) arguments and returns its raw result.
+        """
+        kwargs = dict(self.kwargs)
+        if self.time_dependent and t is not None:
+            kwargs["t"] = t
+        if self._num_positional == 3:
+            return self.func(x, y, z, **kwargs)
+        if z is not None:
+            kwargs.setdefault("z", z)
+            kwargs.pop("z", None)  # 2-arg funcs don't take z
+        return self.func(x, y, **kwargs)
 
     # -- algebra -------------------------------------------------------------
     def __add__(self, other):
@@ -224,6 +241,7 @@ class CompositeParameter(Parameter):
         self.left = left
         self.right = right
         self.operator = operator_
+        self._num_positional = 3
         self._cache: dict = {}
         self._use_cache = None
         self.time_dependent = any(
@@ -252,6 +270,17 @@ class CompositeParameter(Parameter):
                     values.append(operand(x, y, z, t=t))
                 else:
                     values.append(operand(x, y, z))
+            else:
+                values.append(operand)
+        return self.operator(*values)
+
+    def evaluate_traced(self, x, y, z=None, t=None):
+        """Traced evaluation: combine operand results without host
+        coercion (see :meth:`Parameter.evaluate_traced`)."""
+        values = []
+        for operand in (self.left, self.right):
+            if isinstance(operand, Parameter):
+                values.append(operand.evaluate_traced(x, y, z, t=t))
             else:
                 values.append(operand)
         return self.operator(*values)

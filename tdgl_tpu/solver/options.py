@@ -71,6 +71,10 @@ class SolverOptions:
         steps_per_chunk: TDGL steps fused into one compiled scan between host
             synchronizations. Defaults to ``save_every`` (snapshots align with
             chunk boundaries).
+        profile_dir: If set, wrap the whole run in ``jax.profiler.trace``
+            writing a TensorBoard-compatible XLA trace to this directory
+            (device timelines, HLO cost breakdowns). TPU-native replacement
+            for the reference's cProfile-based tracing.
     """
 
     solve_time: float
@@ -104,6 +108,7 @@ class SolverOptions:
     poisson_preconditioner: str = "amg"   # "amg" (two-level) or "jacobi"
     amg_coarsening: Optional[int] = None  # aggregate size (None = auto)
     steps_per_chunk: Optional[int] = None
+    profile_dir: Optional[str] = None  # write a jax.profiler trace here
 
     def validate(self) -> None:
         if self.dt_init > self.dt_max:

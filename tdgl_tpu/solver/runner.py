@@ -248,6 +248,20 @@ class Runner:
         Returns True if data was generated (i.e., the run was not cancelled
         during thermalization).
         """
+        import contextlib
+
+        import jax
+        import jax.numpy as jnp
+
+        options = self.options
+        trace_cm = (
+            jax.profiler.trace(options.profile_dir)
+            if options.profile_dir else contextlib.nullcontext()
+        )
+        with trace_cm:
+            return self._run_stages()
+
+    def _run_stages(self) -> bool:
         import jax.numpy as jnp
 
         options = self.options

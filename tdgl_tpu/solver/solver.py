@@ -305,15 +305,16 @@ class TDGLSolver:
             ze = self.z0
 
             def A_fn(t, _p=self.applied_vector_potential):
-                A = _p.func(xe, ye, ze, t=t, **_p.kwargs)
+                A = _p.evaluate_traced(xe, ye, ze, t=t)
                 return self.A_scale * jnp.asarray(A)[:, :2]
 
         if self._jittable_eps:
             xs = self.sites
 
             def eps_fn(t, _p=self.disorder_epsilon):
-                return jnp.asarray(_p.func(xs[:, 0], xs[:, 1], t=t,
-                                           **_p.kwargs))
+                return jnp.asarray(
+                    _p.evaluate_traced(xs[:, 0], xs[:, 1], t=t)
+                )
 
         dt_max = options.dt_max if options.adaptive else options.dt_init
         poisson_tol = float(options.poisson_tolerance)

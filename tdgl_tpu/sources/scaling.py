@@ -8,18 +8,29 @@ from ..parameter import Parameter
 def linear_ramp(x, y, z, *, t, tmin, tmax, initial: float = 0.0,
                 final: float = 1.0):
     """Linearly interpolate from ``initial`` to ``final`` over [tmin, tmax],
-    clamped outside the interval."""
-    if t < tmin:
-        return initial
-    if t < tmax:
-        return initial + (final - initial) * (t - tmin) / (tmax - tmin)
-    return final
+    clamped outside the interval.
+
+    Written branch-free so it works for both host floats and traced (jax)
+    time values — a LinearRamp-scaled field can therefore run on the
+    compiled fast path."""
+    frac = (t - tmin) / (tmax - tmin)
+    if hasattr(frac, "dtype"):  # traced / jax value
+        import jax.numpy as jnp
+
+        frac = jnp.clip(frac, 0.0, 1.0)
+    else:
+        frac = min(max(frac, 0.0), 1.0)
+    return initial + (final - initial) * frac
 
 
 def LinearRamp(*, tmin: float, tmax: float, initial: float = 0.0,
                final: float = 1.0) -> Parameter:
     """A time-dependent :class:`Parameter` ramping linearly from ``initial``
-    to ``final`` between ``tmin`` and ``tmax``."""
+    to ``final`` between ``tmin`` and ``tmax``. Jax-traceable (runs on the
+    compiled fast path when composed with jittable Parameters)."""
+    if not tmax > tmin:
+        raise ValueError(f"LinearRamp requires tmax > tmin (got tmin={tmin},"
+                         f" tmax={tmax}).")
     return Parameter(
         linear_ramp,
         tmin=tmin,
@@ -27,6 +38,7 @@ def LinearRamp(*, tmin: float, tmax: float, initial: float = 0.0,
         initial=initial,
         final=final,
         time_dependent=True,
+        jittable=True,
     )
 
 

@@ -112,6 +112,28 @@ def test_traced_vs_host_time_dependence(small_device, tmp_path):
     assert np.abs(psi_traced).min() < 0.99999
 
 
+def test_composite_ramp_fast_path(small_device, tmp_path):
+    """``ConstantField * LinearRamp`` is a fully-jittable composite, so the
+    solver must take the compiled fast path (A evaluated in-jit, chunked
+    stepping) and produce a ramped response."""
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    param = tdgl.sources.ConstantField(0.05) * tdgl.LinearRamp(
+        tmin=0.0, tmax=0.3
+    )
+    assert param.jittable and param.time_dependent
+    options = tdgl.SolverOptions(
+        solve_time=0.5, dt_init=1e-3, dt_max=1e-3, save_every=100,
+        field_units="mT", current_units="uA",
+        output_file=str(tmp_path / "ramp.h5"),
+    )
+    solver = TDGLSolver(small_device, options, applied_vector_potential=param)
+    assert solver._jittable_A  # fast path engaged
+    assert solver.chunk_size > 1  # not forced into host-dynamic mode
+    sol = solver.solve()
+    assert np.abs(np.asarray(sol.tdgl_data.psi)).min() < 0.99999
+
+
 def test_fixed_dt(small_device, tmp_path):
     options = tdgl.SolverOptions(
         solve_time=0.5, dt_init=1e-3, adaptive=False, save_every=100,
