@@ -85,3 +85,21 @@ def test_centroid():
     square = box(2, 2, points=40, center=(3, 4))
     c = polygon_centroid(ensure_unique(square))
     assert np.allclose(c, [3, 4], atol=1e-9)
+
+
+def test_polygon_make_mesh():
+    """Polygon.make_mesh returns a valid FV mesh of the polygon alone
+    (reference ``tdgl/device/polygon.py:459-511``)."""
+    import tdgl_tpu as tdgl
+
+    notch = box(1.5, 1.5, center=(2.0, 0.0))  # overlaps the right edge
+    poly = tdgl.Polygon("notched", points=box(4, 4)).difference(notch)
+    mesh = poly.make_mesh(min_points=600, smooth=10)
+    assert len(mesh.sites) >= 600
+    # all sites inside (or on) the outer square, none deep inside the notch
+    assert np.all(np.abs(mesh.sites) <= 2 + 1e-9)
+    in_notch = (np.abs(mesh.sites[:, 1]) < 0.6) & (mesh.sites[:, 0] > 1.4)
+    assert not in_notch.any()
+    # positive Voronoi areas and consistent triangulation
+    assert np.all(mesh.areas > 0)
+    assert mesh.elements.min() >= 0 and mesh.elements.max() < len(mesh.sites)
