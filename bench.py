@@ -27,23 +27,32 @@ def build_device(target_sites: int = 50_000):
         coherence_length=1.0, london_lambda=2.0, thickness=0.1,
         conductivity=10.0,
     )
-    # Side length chosen so ~target_sites at max_edge_length=xi/2.
-    side = 110.0
-    film = tdgl.Polygon("film", points=box(side)).resample(1200)
+    # Side length scaled so ~target_sites at max_edge_length=0.75
+    # (measured density: ~0.238 um^2/site on this workload).
+    side = float(np.sqrt(target_sites * 0.238))
+    film = tdgl.Polygon("film", points=box(side)).resample(
+        max(200, int(11 * side))
+    )
     device = tdgl.Device("bench", layer=layer, film=film, length_units="um")
     device.make_mesh(min_points=target_sites, max_edge_length=0.75,
                      smooth=10)
     return device
 
 
-def main():
+def measure(target_sites: int, attempts: int):
+    """Build the workload at ``target_sites`` and measure steps/sec.
+
+    Returns ``(n_sites, steps_per_sec or None)``. Timing is fetch-forced and
+    execution-proven (see inline comments); ``None`` means the backend never
+    produced a trustworthy run at this size.
+    """
     import numpy as np
 
     import tdgl_tpu as tdgl
     from tdgl_tpu.solver.solver import TDGLSolver
 
     t_setup = time.perf_counter()
-    device = build_device()
+    device = build_device(target_sites)
     n_sites = len(device.mesh.sites)
     print(f"# mesh: {n_sites} sites,"
           f" {len(device.mesh.edge_mesh.edges)} edges"
@@ -74,8 +83,7 @@ def main():
     # enters a degraded state in which dispatches silently no-op and
     # transfers raise UNIMPLEMENTED — timings measured then are garbage, so
     # the canary transfer must succeed before the timed region counts.
-    steps_per_sec = None
-    for attempt in range(5):
+    for attempt in range(attempts):
         try:
             for _ in range(2):
                 state, _, exported_dev = chunk_fn(state)
@@ -87,62 +95,120 @@ def main():
         except Exception as exc:
             print(f"# attempt {attempt}: backend unhealthy"
                   f" ({str(exc)[:60]}); backing off", file=sys.stderr)
-            time.sleep(60 * (attempt + 1))
+            time.sleep(45 * (attempt + 1))
             continue
 
-        # Timed region.
+        # Timed region. IMPORTANT: through the tunneled backend,
+        # jax.block_until_ready can return before execution finishes
+        # (observed: 500-step chunks "completing" in 0.2 ms), so the timer
+        # stops only after a HOST FETCH of the last chunk's exported
+        # diagnostics — the fetch transitively forces every queued chunk.
+        # The cumulative in-program step counter then proves every timed
+        # step actually executed (dispatches cannot silently no-op).
+        steps_before = int(tree_to_numpy(exported_dev)["diagnostics"][3])
         n_chunks = max(4, 4000 // chunk)
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             state, outputs, exported_dev = chunk_fn(state)
-        jax.block_until_ready(state.psi)
+        try:
+            exported = tree_to_numpy(exported_dev)
+        except Exception as exc:
+            print(f"# post-run transfer failed ({str(exc)[:60]});"
+                  " timing untrusted, retrying", file=sys.stderr)
+            time.sleep(45 * (attempt + 1))
+            continue
         elapsed = time.perf_counter() - t0
         steps = n_chunks * chunk
 
         # Sanity: the run must be live (not failed/done/frozen). All host
         # reads come from the chunk program's own exported outputs.
-        try:
-            exported = tree_to_numpy(exported_dev)
-            diag = exported["diagnostics"]
-            assert not bool(diag[5]), "solver failed during bench"
-            assert not bool(diag[4]), "bench steps were no-ops"
-            n_valid = int(np.sum(to_numpy(outputs.valid)))
-            assert n_valid == chunk, f"only {n_valid}/{chunk} steps ran"
-            psi_abs = np.abs(exported["psi_real"] + 1j * exported["psi_imag"])
-            print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
-                  f" time={diag[0]:.2f}, mean cg iters="
-                  f"{np.mean(to_numpy(outputs.cg_iterations)):.1f}",
-                  file=sys.stderr)
-            assert psi_abs.min() < 0.9, \
-                "no vortices: benchmark not exercising dynamics"
-            print("# sanity checks passed", file=sys.stderr)
-            steps_per_sec = steps / elapsed
-            break
-        except AssertionError:
-            raise
-        except Exception as exc:
-            print(f"# post-run transfer failed ({str(exc)[:60]});"
-                  " timing untrusted, retrying", file=sys.stderr)
-            time.sleep(60 * (attempt + 1))
-    if steps_per_sec is None:
-        print("# backend never became healthy; reporting failure",
+        diag = exported["diagnostics"]
+        assert not bool(diag[5]), "solver failed during bench"
+        assert not bool(diag[4]), "bench steps were no-ops"
+        executed = int(diag[3]) - steps_before
+        assert executed == steps, \
+            f"only {executed}/{steps} timed steps executed on device"
+        n_valid = int(np.sum(to_numpy(outputs.valid)))
+        assert n_valid == chunk, f"only {n_valid}/{chunk} steps ran"
+        psi_abs = np.abs(exported["psi_real"] + 1j * exported["psi_imag"])
+        print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
+              f" time={diag[0]:.2f}, mean cg iters="
+              f"{np.mean(to_numpy(outputs.cg_iterations)):.1f}",
               file=sys.stderr)
-        print(json.dumps({
-            "metric": f"tdgl_steps_per_sec_{n_sites}site_mesh",
-            "value": 0.0,
-            "unit": "steps/sec",
-            "vs_baseline": 0.0,
-        }))
-        return
+        assert psi_abs.min() < 0.9, \
+            "no vortices: benchmark not exercising dynamics"
+        print(f"# sanity checks passed ({executed} steps in"
+              f" {elapsed:.2f}s)", file=sys.stderr)
+        return n_sites, steps / elapsed
+    return n_sites, None
 
+
+def _emit(n_sites, steps_per_sec):
     target = 1e4  # BASELINE.md north-star target
     print(json.dumps({
         "metric": f"tdgl_steps_per_sec_{n_sites}site_mesh",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / target, 4),
+    }), flush=True)
+
+
+def _measure_child(target_sites: int, attempts: int) -> None:
+    """Child-process entry: measure one size, print one JSON line."""
+    try:
+        n_sites, sps = measure(target_sites, attempts)
+    except Exception as exc:
+        print(f"# measurement crashed: {str(exc)[:100]}", file=sys.stderr)
+        sys.exit(3)
+    if sps is None:
+        sys.exit(4)
+    _emit(n_sites, sps)
+
+
+def main():
+    # Prefer the full 50k-site workload. The tunneled backend currently
+    # faults on programs at that size in its degraded phases AND a fault
+    # wedges the whole device session, so each size runs in its own
+    # subprocess (fresh session); on failure we fall back to smaller meshes
+    # rather than reporting nothing. The metric name records the actual
+    # size measured.
+    import subprocess
+
+    last_sites = 0
+    for target, attempts, tmo in ((50_000, 3, 900), (25_000, 2, 700),
+                                  (10_000, 2, 600)):
+        last_sites = target
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--measure", str(target),
+                 str(attempts)],
+                capture_output=True, text=True, timeout=tmo,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# ~{target} sites: timed out; falling back",
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                return
+        print(f"# no trustworthy run at ~{target} sites; falling back",
+              file=sys.stderr)
+
+    print("# backend never became healthy; reporting failure",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"tdgl_steps_per_sec_{last_sites}site_mesh",
+        "value": 0.0,
+        "unit": "steps/sec",
+        "vs_baseline": 0.0,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
+        _measure_child(int(sys.argv[2]),
+                       int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    else:
+        main()

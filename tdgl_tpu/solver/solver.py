@@ -475,8 +475,15 @@ class TDGLSolver:
                 np.float32,
             ),
         )
+        # Build complex psi ON DEVICE from two real transfers: the axon
+        # TPU tunnel cannot transfer complex arrays host->device (hangs),
+        # and this is the only complex host->device boundary in the solver.
+        psi_dev = jax.jit(
+            lambda re, im: (re + 1j * im).astype(self.cdtype)
+        )(np.ascontiguousarray(np.real(psi), dtype=rd),
+          np.ascontiguousarray(np.imag(psi), dtype=rd))
         return SolverState(
-            psi=jnp.asarray(psi),
+            psi=psi_dev,
             mu=jnp.asarray(mu),
             supercurrent=jnp.asarray(supercurrent),
             normal_current=jnp.asarray(normal_current),
