@@ -178,6 +178,30 @@ class Parameter:
         return CompositeParameter(other, self, operator.pow)
 
     # -- identity ------------------------------------------------------------
+    def fingerprint(self) -> str:
+        """A stable, hashable token for value-based equality.
+
+        Two Parameters wrapping functions with identical bytecode, constants,
+        and keyword arguments fingerprint equally. Used to key compiled-step
+        caches on *what the parameter computes* rather than on closure
+        identity (cf. ``__eq__``).
+        """
+        digest = hashlib.sha1()
+        code = self.func.__code__
+        digest.update(code.co_code)
+        digest.update(repr(code.co_consts).encode())
+        for k in sorted(self.kwargs):
+            v = self.kwargs[k]
+            digest.update(k.encode())
+            if isinstance(v, np.ndarray):
+                digest.update(np.ascontiguousarray(v))
+            else:
+                digest.update(repr(v).encode())
+        digest.update(
+            f"td={self.time_dependent},jit={self.jittable}".encode()
+        )
+        return digest.hexdigest()
+
     def __eq__(self, other) -> bool:
         if other is self:
             return True
@@ -284,6 +308,19 @@ class CompositeParameter(Parameter):
             else:
                 values.append(operand)
         return self.operator(*values)
+
+    def fingerprint(self) -> str:
+        """Stable hashable token (see :meth:`Parameter.fingerprint`)."""
+        parts = []
+        for operand in (self.left, self.right):
+            if isinstance(operand, Parameter):
+                parts.append(operand.fingerprint())
+            else:
+                parts.append(repr(operand))
+        op_name = getattr(self.operator, "__name__", repr(self.operator))
+        return hashlib.sha1(
+            ("composite:" + op_name + ":" + ":".join(parts)).encode()
+        ).hexdigest()
 
     def __eq__(self, other) -> bool:
         if other is self:

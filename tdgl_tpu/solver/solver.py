@@ -39,6 +39,43 @@ from .step import SolverState, StepConfig, make_chunk_fn
 logger = logging.getLogger("solver")
 
 
+class _TracedInput:
+    """Hashable wrapper for a traced time-dependent input closure.
+
+    ``StepConfig`` is the compile-cache key for ``make_chunk_fn``; raw
+    closures compare by identity, so every new solver would recompile even
+    for identical physics. This wrapper compares by a value token — the
+    Parameter's bytecode fingerprint, the nondimensionalization scale, and a
+    digest of the coordinate arrays the closure bakes into the compiled
+    program — so equal-physics solvers share compiled chunk programs.
+    """
+
+    __slots__ = ("_fn", "_token")
+
+    def __init__(self, fn: Callable, token: tuple):
+        self._fn = fn
+        self._token = token
+
+    def __call__(self, t):
+        return self._fn(t)
+
+    def __eq__(self, other):
+        return (isinstance(other, _TracedInput)
+                and other._token == self._token)
+
+    def __hash__(self):
+        return hash(self._token)
+
+
+def _array_digest(*arrays: np.ndarray) -> str:
+    import hashlib
+
+    digest = hashlib.sha1()
+    for arr in arrays:
+        digest.update(np.ascontiguousarray(arr))
+    return digest.hexdigest()
+
+
 class SolverResult(NamedTuple):
     """The per-step quantities produced by the solver (informational; the
     compiled runtime carries them in :class:`tdgl_tpu.solver.step.SolverState`
@@ -308,6 +345,11 @@ class TDGLSolver:
                 A = _p.evaluate_traced(xe, ye, ze, t=t)
                 return self.A_scale * jnp.asarray(A)[:, :2]
 
+            A_fn = _TracedInput(A_fn, (
+                "A", self.applied_vector_potential.fingerprint(),
+                float(self.A_scale), _array_digest(xe, ye, ze),
+            ))
+
         if self._jittable_eps:
             xs = self.sites
 
@@ -315,6 +357,11 @@ class TDGLSolver:
                 return jnp.asarray(
                     _p.evaluate_traced(xs[:, 0], xs[:, 1], t=t)
                 )
+
+            eps_fn = _TracedInput(eps_fn, (
+                "eps", self.disorder_epsilon.fingerprint(),
+                _array_digest(xs),
+            ))
 
         dt_max = options.dt_max if options.adaptive else options.dt_init
         poisson_tol = float(options.poisson_tolerance)

@@ -157,3 +157,44 @@ def test_thermalization(small_device, tmp_path):
     # The step-0 snapshot is the post-thermalization state, not psi=1.
     sol.solve_step = 0
     assert float(np.abs(np.asarray(sol.tdgl_data.psi)).min()) < 0.99999
+
+
+def test_equal_physics_solvers_share_compiled_chunk(small_device):
+    """Two solvers with identical physics (fresh but equal Parameter
+    objects) must hit the compiled-chunk cache instead of recompiling —
+    StepConfig keys on parameter fingerprints, not closure identity."""
+    from tdgl_tpu.solver.solver import TDGLSolver
+    from tdgl_tpu.solver.step import make_chunk_fn
+
+    def make_solver():
+        options = tdgl.SolverOptions(
+            solve_time=5, dt_init=1e-4, save_every=100,
+            field_units="uT", current_units="uA",
+        )
+        field = tdgl.ConstantField(
+            10, field_units="uT", length_units="um"
+        ) * tdgl.LinearRamp(tmin=0, tmax=4)
+        return TDGLSolver(small_device, options,
+                          applied_vector_potential=field)
+
+    s1 = make_solver()
+    s2 = make_solver()
+    assert s1.cfg.A_fn is not s2.cfg.A_fn  # fresh closures...
+    assert s1.cfg == s2.cfg                # ...that compare equal
+    assert s1._raw_chunk_fn is s2._raw_chunk_fn  # cache hit: no recompile
+
+    misses_before = make_chunk_fn.cache_info().misses
+    s3 = make_solver()
+    assert make_chunk_fn.cache_info().misses == misses_before
+    assert s3._raw_chunk_fn is s1._raw_chunk_fn
+
+    # A genuinely different field must NOT collide.
+    options = tdgl.SolverOptions(
+        solve_time=5, dt_init=1e-4, save_every=100,
+        field_units="uT", current_units="uA",
+    )
+    field = tdgl.ConstantField(
+        20, field_units="uT", length_units="um"
+    ) * tdgl.LinearRamp(tmin=0, tmax=4)
+    s4 = TDGLSolver(small_device, options, applied_vector_potential=field)
+    assert s4.cfg != s1.cfg
