@@ -52,18 +52,28 @@ def test_epsilon_validation(transport_device):
         tdgl.solve(transport_device, options, disorder_epsilon=2)
 
 
+@pytest.mark.parametrize("current", [5.0, lambda t: 10])
+@pytest.mark.parametrize("field", [0, 1])
 @pytest.mark.parametrize(
-    "current, field, terminal_psi, time_dependent, vectorized",
+    "terminal_psi, time_dependent, vectorized",
     [
-        (5.0, 0, 0, False, False),
-        (lambda t: 10, 1, 1, True, True),
+        (0, True, True),
+        (1, False, False),
+        (None, True, True),
     ],
 )
 def test_source_drain_current(
     transport_device, current, field, terminal_psi, time_dependent, vectorized
 ):
     """The measured current through cross sections of the strip must equal
-    the applied bias within 10% (reference ``test_solve.py:21-125``)."""
+    the applied bias within 10% (reference ``test_solve.py:21-125``).
+
+    The matrix mirrors the reference's: constant vs callable terminal
+    currents, field on/off, terminal_psi in {0, 1, None} (None disables the
+    Dirichlet psi rows — a distinct operator path), time-dependent
+    A(t) = ConstantField * LinearRamp and host-path eps(r, t), and
+    vectorized vs scalar epsilon. The reference's ``gpu`` axis has no
+    analog here (JAX owns device placement)."""
     device = transport_device
     options = tdgl.SolverOptions(
         solve_time=10,
@@ -116,6 +126,42 @@ def test_source_drain_current(
         )
     measured = np.asarray(measured)
     assert np.allclose(measured, current, rtol=0.1)
+
+
+def test_time_varying_terminal_currents(transport_device):
+    """A genuinely time-varying bias (host path, chunk size 1): the current
+    measured in the strip tracks the instantaneous applied ramp."""
+    device = transport_device
+
+    def terminal_currents(t):
+        bias = 2.0 + 0.8 * min(float(t), 10.0)
+        return dict(source=bias, drain=-bias)
+
+    options = tdgl.SolverOptions(
+        solve_time=10,
+        skip_time=2,
+        field_units="uT",
+        current_units="uA",
+        save_every=100,
+    )
+    solution = tdgl.solve(
+        device, options, terminal_currents=terminal_currents
+    )
+    # The final saved step is at the end of the solve; the measured current
+    # must match the bias at that time, which differs from the t=0 bias.
+    # (The simulation clock restarts at 0 after thermalization, as in the
+    # reference runner.)
+    t_final = float(solution.times[-1])
+    expected = 2.0 + 0.8 * min(t_final, 10.0)
+    ys = np.linspace(-5, 5, 501)
+    measured = [
+        solution.current_through_path(
+            np.stack([x0 * np.ones_like(ys), ys], axis=1), with_units=False
+        )
+        for x0 in [-8, 0, 8]
+    ]
+    assert expected > 4.0  # the ramp really moved
+    assert np.allclose(measured, expected, rtol=0.1)
 
 
 @pytest.fixture(scope="module")
