@@ -40,10 +40,19 @@ def main():
         current_units="uA",
     )
     bias_points = np.linspace(0.2, 1.6, 8)  # multiples of 10 uA
+
+    # Callable terminal currents — the common IV-curve form in reference
+    # usage: the bias ramps up over the first few tau_0 to avoid shocking
+    # the initial condition, then holds. solve_sweep re-evaluates this on
+    # the host at every chunk boundary for every member.
+    def terminal_currents(t):
+        bias = 10.0 * min(float(t) / 5.0, 1.0)
+        return dict(source=bias, drain=-bias)
+
     result = solve_sweep(
         device,
         options,
-        terminal_currents=dict(source=10, drain=-10),
+        terminal_currents=terminal_currents,
         current_scales=bias_points,
     )
     voltages = result.mean_voltages(tmin=20)

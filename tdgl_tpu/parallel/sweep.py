@@ -54,6 +54,8 @@ class SweepResult:
     dynamics_mu: np.ndarray
     dynamics_theta: np.ndarray
     steps: np.ndarray
+    failed: np.ndarray = None  # (B,) bool — per-member failure flags
+    times: np.ndarray = None   # (B,) final simulation times
 
     def mean_voltages(self, i: int = 0, j: int = 1,
                       tmin: float = 0.0) -> np.ndarray:
@@ -82,12 +84,13 @@ def solve_sweep(
     options: SolverOptions,
     *,
     applied_vector_potential=0.0,
-    terminal_currents: Optional[Dict[str, float]] = None,
+    terminal_currents=None,
     disorder_epsilon=1.0,
     field_scales: Optional[Sequence[float]] = None,
     current_scales: Optional[Sequence[float]] = None,
     mesh: Optional[Mesh] = None,
     max_steps: Optional[int] = None,
+    raise_on_failure: bool = True,
 ) -> SweepResult:
     """Run a batch of TDGL solves in parallel across devices.
 
@@ -99,12 +102,21 @@ def solve_sweep(
         device: The meshed :class:`Device` (shared by all members).
         options: Solver options (``save_every`` sets the chunk size).
         applied_vector_potential: As in :func:`tdgl_tpu.solve`.
-        terminal_currents: As in :func:`tdgl_tpu.solve` (dict only).
+        terminal_currents: A dict (static bias) or a callable ``t -> dict``
+            (the common IV-curve form). A callable is re-evaluated on the
+            host at every chunk boundary, at each member's own simulation
+            time — piecewise-constant in time at ``steps_per_chunk``
+            resolution (set ``options.steps_per_chunk=1`` for per-step
+            updates).
         disorder_epsilon: As in :func:`tdgl_tpu.solve`.
         field_scales: Multipliers for the applied vector potential.
         current_scales: Multipliers for all terminal currents.
         mesh: The device mesh (default: 1D mesh over all available devices).
         max_steps: Step cap (default: generous bound from dt_init).
+        raise_on_failure: Raise ``RuntimeError`` if any member fails
+            (discriminant-retry exhaustion / screening non-convergence).
+            When False, failures are reported in ``SweepResult.failed``
+            instead.
 
     Returns:
         A :class:`SweepResult`.
@@ -119,18 +131,46 @@ def solve_sweep(
     )
     B = len(scales)
     if mesh is None:
-        mesh = _make_device_mesh()
+        # The batch axis must divide evenly across devices; use the largest
+        # device subset that divides B (worst case 1 device, all lanes).
+        n_dev = len(jax.devices())
+        while B % n_dev:
+            n_dev -= 1
+        mesh = _make_device_mesh(n_dev)
 
+    dynamic_currents = callable(terminal_currents)
     solver = TDGLSolver(
         device, options,
         applied_vector_potential=applied_vector_potential,
-        terminal_currents=terminal_currents,
+        # A callable bias is handled by the batched per-chunk host update
+        # below; the solver itself is constructed with the t=0 snapshot so
+        # the compiled chunk stays host-sync-free.
+        terminal_currents=(dict(terminal_currents(0.0)) if dynamic_currents
+                           else terminal_currents),
         disorder_epsilon=disorder_epsilon,
     )
     if solver.host_dynamic:
         raise ValueError(
-            "solve_sweep requires traced (jittable) or static parameters."
+            "solve_sweep requires traced (jittable) or static A/epsilon"
+            " parameters (callable terminal currents are supported)."
         )
+    current_scale_vec = (scales if current_scales is not None
+                         else np.ones(B))
+
+    def batched_mu_boundary(times: np.ndarray) -> np.ndarray:
+        """(B,) member times -> (B, n_boundary) Neumann BC values.
+
+        Evaluates the user's callable at each member's own time, applies the
+        member's bias scale, and nondimensionalizes with the solver's
+        J_scale (as ``TDGLSolver.current_func`` does for the static path).
+        """
+        return np.stack([
+            solver._mu_boundary_from_currents(
+                {k: solver.J_scale * v * current_scale_vec[b]
+                 for k, v in terminal_currents(float(times[b])).items()}
+            )
+            for b in range(B)
+        ])
     base_state = solver._initial_state()
 
     # Broadcast the state over the batch axis, scaling the swept input.
@@ -143,6 +183,12 @@ def solve_sweep(
         batched = batched._replace(
             A_applied=batched.A_applied * scales_j[:, None, None]
         )
+    elif dynamic_currents:
+        batched = batched._replace(
+            mu_boundary=jnp.asarray(
+                batched_mu_boundary(np.zeros(B)), base_state.mu.dtype
+            )
+        )
     else:
         batched = batched._replace(
             mu_boundary=batched.mu_boundary * scales_j[:, None]
@@ -150,7 +196,6 @@ def solve_sweep(
 
     # Shard the batch axis across devices.
     def shard(leaf):
-        spec = (P("batch"),) + (P(None),) * 0
         return jax.device_put(
             leaf, NamedSharding(mesh, P("batch", *([None] * (leaf.ndim - 1))))
         )
@@ -183,9 +228,24 @@ def solve_sweep(
         diag = exported["diagnostics"]
         if bool(np.all(diag[:, 4] > 0)):
             break
+        if dynamic_currents:
+            # Re-evaluate the bias at each member's own simulation time and
+            # push the new Neumann BCs for the next chunk.
+            mb = batched_mu_boundary(diag[:, 0])
+            state = state._replace(
+                mu_boundary=shard(jnp.asarray(mb, base_state.mu.dtype))
+            )
     diag = exported["diagnostics"]
-    if bool(np.any(diag[:, 5] > 0)):
-        raise RuntimeError("One or more sweep members failed to converge.")
+    failed = diag[:, 5] > 0
+    if raise_on_failure and bool(np.any(failed)):
+        bad = ", ".join(
+            f"{scales[b]:g}" for b in np.flatnonzero(failed)[:8]
+        )
+        raise RuntimeError(
+            f"{int(failed.sum())}/{B} sweep members failed to converge"
+            f" (scale values: {bad}). Pass raise_on_failure=False to get"
+            " partial results with per-member flags."
+        )
     # outputs have shape (B, chunk, ...) per chunk; concatenate along steps.
     dt = np.concatenate([np.asarray(o.dt) for o in outputs_list], axis=1)
     valid = np.concatenate([np.asarray(o.valid) for o in outputs_list],
@@ -205,4 +265,6 @@ def solve_sweep(
         dynamics_mu=np.transpose(mu_p, (0, 2, 1)),
         dynamics_theta=np.transpose(th_p, (0, 2, 1)),
         steps=exported["diagnostics"][:, 3].astype(int),
+        failed=failed,
+        times=diag[:, 0],
     )

@@ -254,6 +254,7 @@ class TDGLSolver:
         # ``models/gtdgl.edge_quantity_to_sites``).
         J_scale = (ureg(options.current_units) / length_units / K0)
         J_scale = 4.0 * float(J_scale.to_base_units().magnitude)
+        self.J_scale = J_scale
         self.current_func = (
             lambda t: {k: J_scale * v for k, v in current_func(t).items()}
         )
@@ -446,7 +447,13 @@ class TDGLSolver:
     def _mu_boundary(self, time: float) -> np.ndarray:
         """Terminal current densities -> Neumann BC values per boundary edge
         (``bc-current`` in the reference docs)."""
-        currents = self.current_func(time)
+        return self._mu_boundary_from_currents(self.current_func(time))
+
+    def _mu_boundary_from_currents(
+        self, currents: Dict[str, float]
+    ) -> np.ndarray:
+        """Neumann BC values for an explicit dict of (already nondimensional)
+        terminal currents."""
         mu_boundary = np.zeros(len(self.host_op.boundary_edge_indices),
                                dtype=self.rdtype)
         for term in self.terminal_info:

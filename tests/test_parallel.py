@@ -43,6 +43,73 @@ def test_field_sweep_sharded(small_box_device):
     assert np.all((result.dynamics_dt >= 0))
 
 
+@pytest.fixture(scope="module")
+def small_bridge_device():
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2, thickness=0.1,
+                       conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(12, 5)).resample(200)
+    source = tdgl.Polygon(points=box(0.1, 5, center=(-6, 0))).set_name(
+        "source")
+    drain = source.copy().scale(xfact=-1).set_name("drain")
+    device = tdgl.Device("bridge", layer=layer, film=film,
+                         terminals=[source, drain],
+                         probe_points=[(-4, 0), (4, 0)])
+    device.make_mesh(min_points=400, smooth=20)
+    return device
+
+
+def test_current_sweep_callable_bias(small_bridge_device):
+    """An IV-like sweep with CALLABLE terminal currents (the common
+    reference-usage form): the bias ramps in time; the host update pushes
+    fresh Neumann BCs to all members at every chunk boundary."""
+    options = tdgl.SolverOptions(
+        solve_time=4, dt_init=1e-4, save_every=100,
+        field_units="uT", current_units="uA", dt_max=1e-2,
+    )
+
+    def terminal_currents(t):
+        bias = 1.0 + 0.5 * min(float(t), 2.0)
+        return dict(source=bias, drain=-bias)
+
+    result = solve_sweep(
+        small_bridge_device,
+        options,
+        terminal_currents=terminal_currents,
+        current_scales=np.linspace(0.5, 2.0, 8),
+        max_steps=20000,
+    )
+    assert result.psi.shape[0] == 8
+    assert not np.any(result.failed)
+    assert np.all(result.times >= 4.0)
+    # The probe potential difference must scale with the member bias:
+    # stronger bias -> larger final-step voltage magnitude.
+    v = np.abs(result.dynamics_mu[:, 0, :] - result.dynamics_mu[:, 1, :])
+    final_v = np.array([
+        row[np.flatnonzero(dt > 0)[-1]]
+        for row, dt in zip(v, result.dynamics_dt)
+    ])
+    assert final_v[-1] > 2.0 * final_v[0] > 0
+
+
+def test_sweep_failed_member_surfaced(small_box_device):
+    """A member that cannot converge (fixed dt far too large) is reported:
+    raise_on_failure=True raises; False returns per-member flags."""
+    options = tdgl.SolverOptions(
+        solve_time=5, dt_init=0.5, dt_max=0.5, adaptive=False,
+        save_every=50, field_units="uT", current_units="uA",
+    )
+    kwargs = dict(
+        applied_vector_potential=tdgl.ConstantField(1.0, field_units="uT"),
+        field_scales=np.linspace(100, 400, 4),
+        max_steps=200,
+    )
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        solve_sweep(small_box_device, options, **kwargs)
+    result = solve_sweep(small_box_device, options,
+                         raise_on_failure=False, **kwargs)
+    assert np.any(result.failed)
+
+
 def test_sweep_validation(small_box_device):
     options = tdgl.SolverOptions(solve_time=1)
     with pytest.raises(ValueError):
