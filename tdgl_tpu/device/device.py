@@ -374,6 +374,7 @@ class Device:
         max_edge_length: Optional[float] = None,
         min_points: Optional[int] = None,
         smooth: int = 0,
+        structured: bool = False,
         **mesh_kwargs,
     ) -> None:
         """Generate the dimensionless FV mesh for the device.
@@ -382,29 +383,62 @@ class Device:
             max_edge_length: Max edge length in ``length_units``
                 (default: 1.0 * coherence_length).
             min_points: Minimum number of mesh sites.
-            smooth: Laplacian smoothing iterations.
+            smooth: Laplacian smoothing iterations (unstructured meshes
+                only; a structured lattice must stay exact).
+            structured: Mesh on a clipped triangular lattice instead of an
+                unstructured Delaunay mesh. Structured meshes map every
+                finite-volume operator onto dense array stencils — the fast
+                (gather-free) TPU solver path. The film boundary becomes a
+                lattice staircase (O(h), like any mesh); prefer this for
+                performance, the unstructured mesher for boundary-conforming
+                meshes.
         """
         logger.info("Generating mesh...")
         t0 = time.perf_counter()
         if max_edge_length is None:
             max_edge_length = 1.0 * self.layer.coherence_length
-        points, triangles = generate_mesh(
-            self.film.points,
-            hole_coords=[hole.points for hole in self.holes],
-            min_points=min_points,
-            max_edge_length=max_edge_length,
-            **mesh_kwargs,
-        )
-        if smooth:
-            mesh = Mesh.from_triangulation(
-                points, triangles, create_submesh=False
-            ).smooth(smooth, create_submesh=False)
-            points, triangles = mesh.sites, mesh.elements
-        self._create_dimensionless_mesh(points, triangles)
+        if structured:
+            from .hexmesh import generate_structured_mesh
+
+            points, triangles, grid = generate_structured_mesh(
+                self.film.points,
+                hole_coords=[hole.points for hole in self.holes],
+                min_points=min_points,
+                max_edge_length=max_edge_length,
+            )
+            self._create_dimensionless_mesh(points, triangles)
+            self._attach_grid(grid)
+        else:
+            points, triangles = generate_mesh(
+                self.film.points,
+                hole_coords=[hole.points for hole in self.holes],
+                min_points=min_points,
+                max_edge_length=max_edge_length,
+                **mesh_kwargs,
+            )
+            if smooth:
+                mesh = Mesh.from_triangulation(
+                    points, triangles, create_submesh=False
+                ).smooth(smooth, create_submesh=False)
+                points, triangles = mesh.sites, mesh.elements
+            self._create_dimensionless_mesh(points, triangles)
         logger.info(
             "Generated mesh with %d sites and %d elements in %.3f s",
             len(points), len(triangles), time.perf_counter() - t0,
         )
+
+    def _attach_grid(self, grid) -> None:
+        """Attach (dimensionless) grid metadata to the mesh."""
+        from .hexmesh import HexGrid
+
+        xi = self.layer.coherence_length
+        self.mesh.grid = HexGrid(
+            rows=grid.rows, cols=grid.cols,
+            spacing=grid.spacing / xi,
+            origin=(grid.origin[0] / xi, grid.origin[1] / xi),
+            site_rc=grid.site_rc,
+            grid_site=grid.grid_site,
+        ).with_edges(self.mesh.edge_mesh.edges)
 
     def _create_dimensionless_mesh(
         self, points: np.ndarray, triangles: np.ndarray

@@ -54,6 +54,10 @@ class Mesh:
         self.edge_mesh = edge_mesh
         self._voronoi_polygons = voronoi_polygons
         self._center_of_mass: Optional[Tuple[float, float]] = None
+        # Structured-lattice layout (tdgl_tpu.device.hexmesh.HexGrid), set
+        # when the mesh was generated with Device.make_mesh(structured=True).
+        # Enables the gather-free stencil solver path.
+        self.grid = None
 
     @property
     def voronoi_polygons(self) -> Optional[List[np.ndarray]]:

@@ -128,6 +128,79 @@ def cg_solve(
     return CGResult(project(x), k, res)
 
 
+def cg_solve_fixed(
+    apply_A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    n_iters: int,
+    precond_inv_diag: Optional[jax.Array] = None,
+    deflate_constant: bool = True,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> CGResult:
+    """Fixed-iteration preconditioned CG (``lax.fori_loop``, no stopping test).
+
+    Unlike :func:`cg_solve`, this runs exactly ``n_iters`` iterations with no
+    convergence branch, so
+
+    * XLA can pipeline the loop body (no scalar-reduction-gated ``while``),
+      and
+    * the solve is a **smooth** function of its inputs — adaptive stopping
+      makes the map discontinuous at the tolerance scale, which blocks the
+      screening fixed point from converging below the CG tolerance in
+      float32.
+
+    Guards against breakdown (pAp <= 0) by freezing the step, like
+    :func:`cg_solve`, but without early exit.
+    """
+    rdtype = b.dtype
+
+    def project(v):
+        return _project_out_constant(v) if deflate_constant else v
+
+    b = project(b)
+    x0 = project(x0)
+
+    def M_inv(v):
+        if precond is not None:
+            return project(precond(v))
+        if precond_inv_diag is None:
+            return v
+        return precond_inv_diag.astype(rdtype) * v
+
+    r0 = project(b - apply_A(x0))
+    z0 = M_inv(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Ap = apply_A(p)
+        pAp = jnp.sum(p * Ap)
+        healthy = jnp.logical_and(jnp.isfinite(pAp),
+                                  pAp > jnp.finfo(rdtype).tiny)
+        alpha = jnp.where(healthy, rz / jnp.where(healthy, pAp, 1.0), 0.0)
+        x_new = x + alpha * p
+        r_new = project(r - alpha * Ap)
+        z_new = M_inv(r_new)
+        rz_new = jnp.sum(r_new * z_new)
+        beta = jnp.where(
+            healthy, rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0
+        )
+        p_new = z_new + beta * p
+
+        def keep(old, new):
+            return jnp.where(healthy, new, old)
+
+        return (keep(x, x_new), keep(r, r_new), keep(z, z_new),
+                keep(p, p_new), keep(rz, rz_new))
+
+    x, r, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (x0, r0, z0, z0, rz0)
+    )
+    b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
+    return CGResult(project(x), jnp.int32(n_iters), res)
+
+
 def solve_mu_poisson(
     op,
     rhs: jax.Array,
@@ -136,6 +209,7 @@ def solve_mu_poisson(
     maxiter: int = 1000,
     amg=None,
     amg_omega: float = 0.6,
+    fixed_iters: Optional[int] = None,
 ) -> CGResult:
     """Solve the scalar-potential Poisson equation ``L mu = rhs`` with
     ``L = diag(1/a) S``.
@@ -166,6 +240,11 @@ def solve_mu_poisson(
         # Jacobi diagonal of -S: precomputed edge-weight row sums.
         diag = op.w_sym_rowsum.astype(rdtype)
         inv_diag = 1.0 / jnp.maximum(diag, jnp.finfo(rdtype).tiny)
+    if fixed_iters is not None:
+        return cg_solve_fixed(
+            apply_A, b, mu_prev, fixed_iters, precond_inv_diag=inv_diag,
+            deflate_constant=True, precond=precond,
+        )
     return cg_solve(
         apply_A, b, mu_prev, precond_inv_diag=inv_diag, tol=tol,
         maxiter=maxiter, deflate_constant=True, precond=precond,

@@ -58,7 +58,7 @@ def induced_vector_potential_pallas(
     edge_centers: jax.Array,
     sites: jax.Array,
     J_weighted: jax.Array,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Pallas version of :func:`tdgl_tpu.ops.screening.induced_vector_potential`.
 
@@ -75,6 +75,9 @@ def induced_vector_potential_pallas(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:
+        # Compile for real TPUs; interpret elsewhere (CPU tests).
+        interpret = jax.default_backend() != "tpu"
     E = edge_centers.shape[0]
     S = sites.shape[0]
     Ep = -(-E // BLOCK_E) * BLOCK_E

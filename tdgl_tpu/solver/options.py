@@ -103,6 +103,34 @@ class SolverOptions:
     screening_step_drag: float = 0.5
     # TPU-specific options
     dtype: str = "float32"
+    # Screening-error normalization ("auto", "per_edge", "global"):
+    # the reference compares |dA_e| / |A_e| per edge
+    # (``tdgl/solver/solver.py:570-575``), which is meaningful in float64 but
+    # floors at ~2e-5 in float32 — edges carrying ~0.01% of the peak induced
+    # potential amplify summation noise into the per-edge ratio. "global"
+    # compares max_e |dA_e| / max_e |A_e| (noise floor ~1e-7 at f32, measured
+    # on a real mesh), making screening_tolerance=1e-6 usable at float32.
+    # "auto" = per_edge at float64, global at float32.
+    screening_error_norm: str = "auto"
+    # Which induced-vector-potential kernel to use: "xla" (blocked
+    # rsqrt+matmul, ops/screening.py) or "pallas" (fused VMEM-accumulator
+    # kernel, ops/pallas_screening.py; float32 only).
+    screening_kernel: str = "xla"
+    # CG iterations per mu solve inside the screening fixed point. A fixed
+    # count (rather than tolerance-stopped CG) makes each solve a smooth map,
+    # which the Polyak iteration needs to converge below the CG tolerance;
+    # warm starts accumulate convergence across screening iterations.
+    screening_cg_iterations: int = 32
+    # Precision floor for the *effective* screening tolerance (None = auto,
+    # 0 disables). At float32 the coupled psi/mu/A map has an irreducible
+    # noise ball: psi rounding (~1.2e-7 relative) is amplified by the
+    # div -> Poisson-solve -> grad chain into ~3e-4 relative fluctuation of
+    # the induced vector potential (measured; the floor persists even when
+    # the whole observening chain runs in float64 from the f32 psi). Chasing
+    # tolerances below it cannot converge, so the effective tolerance is
+    # max(screening_tolerance, floor): auto = 5e-4 (global norm) / 3e-3
+    # (per-edge norm) at float32, 0 at float64.
+    screening_tolerance_floor: Optional[float] = None
     poisson_tolerance: float = 1e-6
     poisson_max_iterations: int = 1500
     poisson_preconditioner: str = "amg"   # "amg" (two-level) or "jacobi"
@@ -143,6 +171,20 @@ class SolverOptions:
         if self.dtype not in ("float32", "float64"):
             raise SolverOptionsError(
                 f"dtype must be 'float32' or 'float64' (got {self.dtype})."
+            )
+        if self.screening_error_norm not in ("auto", "per_edge", "global"):
+            raise SolverOptionsError(
+                "screening_error_norm must be 'auto', 'per_edge', or"
+                f" 'global' (got {self.screening_error_norm})."
+            )
+        if self.screening_kernel not in ("xla", "pallas"):
+            raise SolverOptionsError(
+                "screening_kernel must be 'xla' or 'pallas'"
+                f" (got {self.screening_kernel})."
+            )
+        if self.screening_kernel == "pallas" and self.dtype != "float32":
+            raise SolverOptionsError(
+                "screening_kernel='pallas' requires dtype='float32'."
             )
         if self.poisson_preconditioner not in ("amg", "jacobi"):
             raise SolverOptionsError(

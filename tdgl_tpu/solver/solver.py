@@ -366,12 +366,38 @@ class TDGLSolver:
 
         dt_max = options.dt_max if options.adaptive else options.dt_init
         poisson_tol = float(options.poisson_tolerance)
+        screening_global_norm = (
+            options.screening_error_norm == "global"
+            or (options.screening_error_norm == "auto"
+                and options.dtype == "float32")
+        )
+        screening_tol = float(options.screening_tolerance)
         if options.include_screening:
+            # Precision floor on the effective screening tolerance (see
+            # SolverOptions.screening_tolerance_floor): at float32 the
+            # coupled psi/mu/A map fluctuates at ~3e-4 relative no matter
+            # how accurately the induced-A kernel sums, so tolerances below
+            # the floor can never be met.
+            floor = options.screening_tolerance_floor
+            if floor is None:
+                if options.dtype == "float32":
+                    floor = 5e-4 if screening_global_norm else 3e-3
+                else:
+                    floor = 0.0
+            if screening_tol < floor:
+                logging.getLogger("solver").warning(
+                    "screening_tolerance=%.1e is below the %s precision "
+                    "floor %.1e for dtype=%s; using the floor (set "
+                    "screening_tolerance_floor=0 to disable).",
+                    screening_tol,
+                    "global-norm" if screening_global_norm else "per-edge",
+                    floor, options.dtype,
+                )
+                screening_tol = float(floor)
             # The Polyak fixed point compares successive induced vector
             # potentials; mu-solve noise enters through the normal current,
             # so CG must converge well below the screening tolerance.
-            poisson_tol = min(poisson_tol,
-                              1e-2 * float(options.screening_tolerance))
+            poisson_tol = min(poisson_tol, 1e-2 * screening_tol)
         self.cfg = StepConfig(
             gamma=float(self.gamma),
             u=float(self.u),
@@ -384,7 +410,10 @@ class TDGLSolver:
                 options.adaptive_time_step_multiplier
             ),
             include_screening=bool(options.include_screening),
-            screening_tolerance=float(options.screening_tolerance),
+            screening_global_error_norm=screening_global_norm,
+            screening_use_pallas=(options.screening_kernel == "pallas"),
+            screening_cg_iters=int(options.screening_cg_iterations),
+            screening_tolerance=screening_tol,
             screening_step_size=float(options.screening_step_size),
             screening_step_drag=float(options.screening_step_drag),
             max_iterations_per_step=int(options.max_iterations_per_step),

@@ -145,6 +145,14 @@ class StepConfig:
     # smoothing weight live here.
     use_amg: bool = False
     amg_omega: float = 0.6
+    # Globally-normalized screening error (f32 path; see SolverOptions
+    # ``screening_error_norm``) instead of the reference's per-edge ratio.
+    screening_global_error_norm: bool = False
+    # Fused Pallas induced-A kernel instead of the XLA blocked kernel.
+    screening_use_pallas: bool = False
+    # CG iterations per mu solve inside the screening fixed point (fixed
+    # count -> smooth map; see ``observables``).
+    screening_cg_iters: int = 32
 
 
 def make_step_fn(cfg: StepConfig):
@@ -194,17 +202,26 @@ def make_step_fn(cfg: StepConfig):
         )
         return psi_n, sq_n, dt, jnp.logical_not(ok)
 
-    def observables(op, amg, U, psi, dA_dt, mu_boundary, mu_guess):
-        """Supercurrent, mu (CG), and normal current (``solver.py:489-520``)."""
+    def observables(op, amg, U, psi, dA_dt, mu_boundary, mu_guess,
+                    fixed_iters=None):
+        """Supercurrent, mu (CG), and normal current (``solver.py:489-520``).
+
+        ``fixed_iters`` (used inside the screening fixed point) runs CG for a
+        fixed iteration count — a smooth map, unlike tolerance-stopped CG
+        whose discontinuities block screening convergence below the CG
+        tolerance. Returns the CG residual as a 5th element for failure
+        detection.
+        """
         J_s = gtdgl.supercurrent_on_edges(op, U, psi)
         rhs = gtdgl.poisson_rhs(op, J_s, dA_dt, mu_boundary)
         cg = solve_mu_poisson(
             op, rhs, mu_guess,
             tol=cfg.poisson_tolerance, maxiter=cfg.poisson_max_iterations,
             amg=(amg if cfg.use_amg else None), amg_omega=cfg.amg_omega,
+            fixed_iters=fixed_iters,
         )
         J_n = -gtdgl.gradient_on_edges(op, cg.x) - dA_dt
-        return J_s, cg.x, J_n, cg.iterations
+        return J_s, cg.x, J_n, cg.iterations, cg.residual_norm
 
     def step(op, screening_weights, amg, state: SolverState):
         n_sites = op.areas.shape[0]
@@ -232,7 +249,7 @@ def make_step_fn(cfg: StepConfig):
         old_sq = jnp.abs(state.psi) ** 2
         dt0 = state.tentative_dt
 
-        def tdgl_update(psi_in, mu_in, A_induced, dt):
+        def tdgl_update(psi_in, mu_in, A_induced, dt, fixed_iters=None):
             # Within the screening fixed point the reference feeds the
             # previous iteration's psi and mu back into the Euler update
             # while keeping |psi^n|^2 as the old superfluid density
@@ -243,10 +260,12 @@ def make_step_fn(cfg: StepConfig):
             psi_n, sq_n, dt_used, fail = euler_with_retries(
                 op, rdtype, U, psi_in, old_sq, mu_in, epsilon, dt
             )
-            J_s, mu_n, J_n, cg_iters = observables(
-                op, amg, U, psi_n, dA_dt, mu_boundary, mu_in
+            J_s, mu_n, J_n, cg_iters, cg_res = observables(
+                op, amg, U, psi_n, dA_dt, mu_boundary, mu_in,
+                fixed_iters=fixed_iters,
             )
-            return psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters
+            return (psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters,
+                    cg_res)
 
         if cfg.include_screening:
             big = np.asarray(1e30, rdtype)
@@ -260,26 +279,45 @@ def make_step_fn(cfg: StepConfig):
 
             def s_body(carry):
                 (s, err, dt, A_ind, velocity, psi_n, sq_n, mu_n, J_s, J_n,
-                 fail, cg_iters) = carry
+                 fail, cg_iters, cg_res) = carry
                 # Gate on convergence for vmap-safety (see euler retries).
                 converged = err < cfg.screening_tolerance
                 (psi_u, sq_u, mu_u, J_s_u, J_n_u, dt_u, fail_i,
-                 cg_iters_u) = tdgl_update(psi_n, mu_n, A_ind, dt)
+                 cg_iters_u, cg_res_u) = tdgl_update(
+                    psi_n, mu_n, A_ind, dt,
+                    fixed_iters=cfg.screening_cg_iters)
                 J_site = gtdgl.edge_quantity_to_sites(op, J_s_u + J_n_u,
                                                       n_sites)
                 Jw = J_site * screening_weights[:, None].astype(rdtype)
-                A_new = induced_vector_potential(
-                    op.edge_centers.astype(rdtype), op.sites.astype(rdtype),
-                    Jw,
-                )
+                if cfg.screening_use_pallas:
+                    from ..ops.pallas_screening import (
+                        induced_vector_potential_pallas,
+                    )
+
+                    A_new = induced_vector_potential_pallas(
+                        op.edge_centers.astype(rdtype),
+                        op.sites.astype(rdtype), Jw,
+                    ).astype(rdtype)
+                else:
+                    A_new = induced_vector_potential(
+                        op.edge_centers.astype(rdtype),
+                        op.sites.astype(rdtype), Jw,
+                    )
                 dA = A_new - A_ind
                 velocity_u = ((1.0 - cfg.screening_step_drag) * velocity
                               + cfg.screening_step_size * dA)
                 A_ind_u = A_ind + velocity_u
-                err_u = jnp.max(
-                    jnp.linalg.norm(dA, axis=1)
-                    / jnp.maximum(jnp.linalg.norm(A_ind_u, axis=1), 1e-20)
-                )
+                dA_norm = jnp.linalg.norm(dA, axis=1)
+                A_norm = jnp.linalg.norm(A_ind_u, axis=1)
+                if cfg.screening_global_error_norm:
+                    # f32 path: max |dA| / max |A|. The reference's per-edge
+                    # ratio (below) floors at ~2e-5 in float32 because edges
+                    # with |A_e| ~ 1e-4 max|A| amplify summation noise.
+                    err_u = jnp.max(dA_norm) / jnp.maximum(jnp.max(A_norm),
+                                                           1e-20)
+                else:
+                    # Reference semantics (``solver.py:570-575``).
+                    err_u = jnp.max(dA_norm / jnp.maximum(A_norm, 1e-20))
 
                 def keep(old, new):
                     return jnp.where(converged, old, new)
@@ -298,20 +336,29 @@ def make_step_fn(cfg: StepConfig):
                     jnp.logical_or(fail, jnp.logical_and(
                         fail_i, jnp.logical_not(converged))),
                     keep(cg_iters, cg_iters_u),
+                    keep(cg_res, cg_res_u),
                 )
 
             zeros_e = jnp.zeros(op.edges.shape[0], rdtype)
             init = (
                 np.int32(0), big, dt0, state.A_induced,
                 jnp.zeros_like(state.A_induced), state.psi, old_sq, state.mu,
-                zeros_e, zeros_e, np.bool_(False), np.int32(0),
+                zeros_e, zeros_e, np.bool_(False), np.int32(0), big,
             )
             (s, err, dt_used, A_induced, _vel, psi_n, sq_n, mu_n, J_s, J_n,
-             fail, cg_iters) = jax.lax.while_loop(s_cond, s_body, init)
+             fail, cg_iters, cg_res) = jax.lax.while_loop(s_cond, s_body,
+                                                          init)
             fail = jnp.logical_or(fail, err >= cfg.screening_tolerance)
+            # The fixed-iteration CG solves have no internal stopping test;
+            # verify the final solve actually met the (precision-floored)
+            # Poisson tolerance.
+            res_allowed = max(cfg.poisson_tolerance,
+                              50.0 * float(jnp.finfo(rdtype).eps))
+            fail = jnp.logical_or(fail, cg_res > res_allowed)
             screening_iters = s
         else:
-            psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters = tdgl_update(
+            (psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters,
+             _cg_res) = tdgl_update(
                 state.psi, state.mu, state.A_induced, dt0
             )
             A_induced = state.A_induced
