@@ -48,6 +48,7 @@ def cg_solve(
     maxiter: int = 500,
     deflate_constant: bool = True,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    project_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> CGResult:
     """Preconditioned conjugate gradients with optional constant-mode deflation.
 
@@ -60,11 +61,16 @@ def cg_solve(
         maxiter: Iteration cap (static).
         deflate_constant: Project the constant mode out of b, x, and r
             (required for the pure-Neumann Poisson operator).
+        project_fn: Custom deflation projector (e.g. a masked mean on padded
+            grids); overrides ``deflate_constant``.
     """
     rdtype = b.dtype
 
-    def project(v):
-        return _project_out_constant(v) if deflate_constant else v
+    if project_fn is not None:
+        project = project_fn
+    else:
+        def project(v):
+            return _project_out_constant(v) if deflate_constant else v
 
     b = project(b)
     x0 = project(x0)
@@ -136,6 +142,7 @@ def cg_solve_fixed(
     precond_inv_diag: Optional[jax.Array] = None,
     deflate_constant: bool = True,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    project_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> CGResult:
     """Fixed-iteration preconditioned CG (``lax.fori_loop``, no stopping test).
 
@@ -154,8 +161,11 @@ def cg_solve_fixed(
     """
     rdtype = b.dtype
 
-    def project(v):
-        return _project_out_constant(v) if deflate_constant else v
+    if project_fn is not None:
+        project = project_fn
+    else:
+        def project(v):
+            return _project_out_constant(v) if deflate_constant else v
 
     b = project(b)
     x0 = project(x0)
@@ -199,6 +209,61 @@ def cg_solve_fixed(
     b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
     res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
     return CGResult(project(x), jnp.int32(n_iters), res)
+
+
+def solve_mu_poisson_grid(
+    sten,
+    rhs: jax.Array,
+    mu_prev: jax.Array,
+    tol: float = 1e-7,
+    maxiter: int = 1000,
+    amg=None,
+    amg_omega: float = 0.6,
+    fixed_iters: Optional[int] = None,
+) -> CGResult:
+    """Grid (stencil-backend) variant of :func:`solve_mu_poisson`.
+
+    Works on padded ``(Rp, Cp)`` arrays; the constant-mode deflation uses a
+    masked mean so padding/masked sites stay exactly zero.
+    """
+    from ..models.gtdgl_stencil import scalar_laplacian_sym
+
+    rdtype = rhs.dtype
+    valid = sten.valid.astype(rdtype)
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+
+    def project(v):
+        return (v - jnp.sum(v * valid) / n_valid) * valid
+
+    def apply_A(x):
+        return -scalar_laplacian_sym(sten, x)
+
+    b = -(sten.area.astype(rdtype) * rhs)
+    precond = None
+    inv_diag = None
+    if amg is not None:
+        from .grid_amg import make_grid_amg_apply
+
+        apply_amg = make_grid_amg_apply(amg_omega)
+
+        def precond(v):
+            return apply_amg(apply_A, amg, v)
+    else:
+        inv_diag = jnp.where(
+            valid > 0,
+            1.0 / jnp.maximum(sten.sym_diag.astype(rdtype),
+                              jnp.finfo(rdtype).tiny),
+            0.0,
+        )
+    if fixed_iters is not None:
+        return cg_solve_fixed(
+            apply_A, b, mu_prev, fixed_iters, precond_inv_diag=inv_diag,
+            precond=precond, project_fn=project,
+        )
+    return cg_solve(
+        apply_A, b, mu_prev, precond_inv_diag=inv_diag, tol=tol,
+        maxiter=maxiter, precond=precond, project_fn=project,
+    )
 
 
 def solve_mu_poisson(

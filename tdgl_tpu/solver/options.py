@@ -103,6 +103,12 @@ class SolverOptions:
     screening_step_drag: float = 0.5
     # TPU-specific options
     dtype: str = "float32"
+    # Which compiled solver backend to use: "auto" picks the gather-free
+    # stencil backend when the mesh is structured (Device.make_mesh(
+    # structured=True)) and the ELL gather backend otherwise; "stencil" and
+    # "ell" force one (stencil requires a structured mesh). On TPU the
+    # stencil backend is ~3 orders of magnitude faster.
+    solver_backend: str = "auto"
     # Screening-error normalization ("auto", "per_edge", "global"):
     # the reference compares |dA_e| / |A_e| per edge
     # (``tdgl/solver/solver.py:570-575``), which is meaningful in float64 but
@@ -133,6 +139,12 @@ class SolverOptions:
     screening_tolerance_floor: Optional[float] = None
     poisson_tolerance: float = 1e-6
     poisson_max_iterations: int = 1500
+    # If set, run exactly this many CG iterations per mu solve (lax.fori_loop
+    # with no convergence branch) instead of tolerance-stopped CG. The solve
+    # becomes fixed-cost and fully pipelineable; with warm starts a small
+    # fixed count typically tracks the tolerance-stopped solution closely.
+    # The final residual still feeds the solver's failure flag.
+    poisson_fixed_iterations: Optional[int] = None
     poisson_preconditioner: str = "amg"   # "amg" (two-level) or "jacobi"
     amg_coarsening: Optional[int] = None  # aggregate size (None = auto)
     steps_per_chunk: Optional[int] = None
@@ -171,6 +183,11 @@ class SolverOptions:
         if self.dtype not in ("float32", "float64"):
             raise SolverOptionsError(
                 f"dtype must be 'float32' or 'float64' (got {self.dtype})."
+            )
+        if self.solver_backend not in ("auto", "stencil", "ell"):
+            raise SolverOptionsError(
+                "solver_backend must be 'auto', 'stencil', or 'ell'"
+                f" (got {self.solver_backend})."
             )
         if self.screening_error_norm not in ("auto", "per_edge", "global"):
             raise SolverOptionsError(

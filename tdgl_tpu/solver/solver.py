@@ -268,6 +268,16 @@ class TDGLSolver:
         else:
             normal_boundary_index = np.array([], dtype=np.int32)
 
+        # --- backend selection -------------------------------------------------
+        if options.solver_backend == "stencil" and mesh.grid is None:
+            raise ValueError(
+                "solver_backend='stencil' requires a structured mesh;"
+                " generate one with device.make_mesh(structured=True)."
+            )
+        self.structured = (
+            mesh.grid is not None and options.solver_backend != "ell"
+        )
+
         # --- operators -------------------------------------------------------
         terminal_psi = options.terminal_psi
         fixed = (normal_boundary_index if terminal_psi is not None
@@ -276,10 +286,36 @@ class TDGLSolver:
         host_op = build_operators(mesh, fixed_sites=fixed, dtype=self.rdtype)
         self.op = jax.tree.map(jnp.asarray, host_op)
         self.host_op = host_op
+        if self.structured:
+            from ..fv.stencil_operators import build_stencil_operators
+
+            host_sten, self.maps = build_stencil_operators(
+                mesh, fixed_sites=fixed, dtype=self.rdtype
+            )
+            self.host_sten = host_sten
+            self.sten = jax.tree.map(jnp.asarray, host_sten)
+            logger.info(
+                "Stencil backend: padded grid %s (%.0f%% fill).",
+                self.maps.shape,
+                100.0 * self.maps.n_sites
+                / (self.maps.shape[0] * self.maps.shape[1]),
+            )
 
         # --- mu-Poisson preconditioner ---------------------------------------
         self._use_amg = options.poisson_preconditioner == "amg"
-        if self._use_amg:
+        if not self._use_amg:
+            self.amg = None
+        elif self.structured:
+            from ..ops.grid_amg import build_grid_amg
+
+            host_amg = build_grid_amg(mesh, host_sten, self.maps,
+                                      dtype=self.rdtype)
+            self.amg = jax.tree.map(jnp.asarray, host_amg)
+            logger.info(
+                "Built grid AMG preconditioner: %d aggregates (8x8 tiles).",
+                host_amg.Ac_inv.shape[0],
+            )
+        else:
             from ..ops.amg import build_amg
 
             n_sites_total = len(mesh.sites)
@@ -293,8 +329,6 @@ class TDGLSolver:
                 "Built two-level AMG preconditioner: %d aggregates"
                 " (coarsening %d).", host_amg.Ac_inv.shape[0], coarsening,
             )
-        else:
-            self.amg = None
 
         # --- screening weights ------------------------------------------------
         if options.include_screening:
@@ -302,12 +336,12 @@ class TDGLSolver:
             A_scale_scr = (
                 (ureg("mu_0") / (4 * np.pi) * K0 / A0).to(1 / length_units)
             ).magnitude
-            self._screening_weights = jnp.asarray(
-                (A_scale_scr * xi) * np.asarray(mesh.areas), dtype=self.rdtype
-            )
+            weights = (A_scale_scr * xi) * np.asarray(mesh.areas)
         else:
-            self._screening_weights = jnp.zeros(len(mesh.sites),
-                                                dtype=self.rdtype)
+            weights = np.zeros(len(mesh.sites))
+        if self.structured:
+            weights = self.maps.site_to_grid(weights.astype(self.rdtype))
+        self._screening_weights = jnp.asarray(weights, dtype=self.rdtype)
 
         # --- initial state -----------------------------------------------------
         n_sites = len(mesh.sites)
@@ -338,13 +372,23 @@ class TDGLSolver:
 
         A_fn = eps_fn = None
         if self._jittable_A:
-            xe = self.edge_centers[:, 0]
-            ye = self.edge_centers[:, 1]
-            ze = self.z0
+            if self.structured:
+                # Padded grid edge centers (invalid entries sit at the mesh
+                # centroid, so user functions stay finite there).
+                xe = (xi * np.asarray(self.host_sten.ec_x)).ravel()
+                ye = (xi * np.asarray(self.host_sten.ec_y)).ravel()
+                ze = device.layer.z0 * np.ones_like(xe)
+                out_shape = (3,) + self.maps.shape + (2,)
+            else:
+                xe = self.edge_centers[:, 0]
+                ye = self.edge_centers[:, 1]
+                ze = self.z0
+                out_shape = None
 
             def A_fn(t, _p=self.applied_vector_potential):
                 A = _p.evaluate_traced(xe, ye, ze, t=t)
-                return self.A_scale * jnp.asarray(A)[:, :2]
+                A = self.A_scale * jnp.asarray(A)[:, :2]
+                return A.reshape(out_shape) if out_shape else A
 
             A_fn = _TracedInput(A_fn, (
                 "A", self.applied_vector_potential.fingerprint(),
@@ -352,17 +396,32 @@ class TDGLSolver:
             ))
 
         if self._jittable_eps:
-            xs = self.sites
+            if self.structured:
+                xs_x = (xi * np.asarray(self.host_sten.site_x)).ravel()
+                xs_y = (xi * np.asarray(self.host_sten.site_y)).ravel()
+                eps_shape = self.maps.shape
 
-            def eps_fn(t, _p=self.disorder_epsilon):
-                return jnp.asarray(
-                    _p.evaluate_traced(xs[:, 0], xs[:, 1], t=t)
-                )
+                def eps_fn(t, _p=self.disorder_epsilon):
+                    return jnp.asarray(
+                        _p.evaluate_traced(xs_x, xs_y, t=t)
+                    ).reshape(eps_shape)
 
-            eps_fn = _TracedInput(eps_fn, (
-                "eps", self.disorder_epsilon.fingerprint(),
-                _array_digest(xs),
-            ))
+                eps_fn = _TracedInput(eps_fn, (
+                    "eps", self.disorder_epsilon.fingerprint(),
+                    _array_digest(xs_x, xs_y),
+                ))
+            else:
+                xs = self.sites
+
+                def eps_fn(t, _p=self.disorder_epsilon):
+                    return jnp.asarray(
+                        _p.evaluate_traced(xs[:, 0], xs[:, 1], t=t)
+                    )
+
+                eps_fn = _TracedInput(eps_fn, (
+                    "eps", self.disorder_epsilon.fingerprint(),
+                    _array_digest(xs),
+                ))
 
         dt_max = options.dt_max if options.adaptive else options.dt_init
         poisson_tol = float(options.poisson_tolerance)
@@ -419,8 +478,17 @@ class TDGLSolver:
             max_iterations_per_step=int(options.max_iterations_per_step),
             poisson_tolerance=poisson_tol,
             poisson_max_iterations=int(options.poisson_max_iterations),
-            probe_ix=(tuple(self.probe_points)
-                      if self.probe_points is not None else None),
+            poisson_fixed_iters=(
+                int(options.poisson_fixed_iterations)
+                if options.poisson_fixed_iterations is not None else None
+            ),
+            # On the stencil backend probes are flat padded-grid indices.
+            probe_ix=(
+                tuple(int(self.maps.site_flat[p]) for p in self.probe_points)
+                if self.structured and self.probe_points is not None
+                else tuple(self.probe_points)
+                if self.probe_points is not None else None
+            ),
             A_fn=A_fn,
             eps_fn=eps_fn,
             mu_boundary_fn=None,
@@ -441,12 +509,22 @@ class TDGLSolver:
                     if options.save_every % d == 0:
                         divisor = d
                 self.chunk_size = divisor
-        self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
-        # The operator tables, screening weights, and AMG hierarchy are
-        # traced arguments of the compiled chunk (not baked-in constants).
-        self.chunk_fn = lambda state: self._raw_chunk_fn(
-            self.op, self._screening_weights, self.amg, state
-        )
+        if self.structured:
+            from .grid_step import make_grid_chunk_fn
+
+            self._raw_chunk_fn = make_grid_chunk_fn(self.cfg,
+                                                    self.chunk_size)
+            self.chunk_fn = lambda state: self._raw_chunk_fn(
+                self.sten, self._screening_weights, self.amg, state
+            )
+        else:
+            self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
+            # The operator tables, screening weights, and AMG hierarchy are
+            # traced arguments of the compiled chunk (not baked-in
+            # constants).
+            self.chunk_fn = lambda state: self._raw_chunk_fn(
+                self.op, self._screening_weights, self.amg, state
+            )
 
     # -- host-side evaluation helpers ---------------------------------------
     def _eval_A(self, time: float) -> np.ndarray:
@@ -494,25 +572,55 @@ class TDGLSolver:
             mu_boundary[term.boundary_edge_indices] = density
         return mu_boundary
 
-    def _host_update(self, state: SolverState) -> SolverState:
+    def _host_neumann_term(self, mu_boundary: np.ndarray) -> np.ndarray:
+        """Dense (grid) Neumann RHS term for a boundary-edge value vector."""
+        sten = self.host_sten
+        flat = np.zeros(self.maps.shape[0] * self.maps.shape[1],
+                        dtype=self.rdtype)
+        np.add.at(flat, sten.nbl_idx,
+                  sten.nbl_vals * mu_boundary[sten.nbl_col])
+        return flat.reshape(self.maps.shape)
+
+    def _host_update(self, state):
         """Evaluate non-traceable time-dependent inputs on the host
         (chunk size 1)."""
         time = float(host_scalar(state.time))
         updates = {}
         if self.dynamic_vector_potential and not self._jittable_A:
             A_new = self._eval_A(time)
-            prev = to_numpy(state.A_applied)
             prev_dt = float(host_scalar(state.prev_dt))
             ndirs = (self.host_op.edge_directions
                      / np.linalg.norm(self.host_op.edge_directions, axis=1,
                                       keepdims=True))
-            dA_dt = np.einsum("ij,ij->i", (A_new - prev) / prev_dt, ndirs)
-            updates["A_applied"] = jnp.asarray(A_new)
-            updates["dA_dt"] = jnp.asarray(dA_dt.astype(self.rdtype))
+            if self.structured:
+                prev = self.maps.grid_to_edge(to_numpy(state.A_applied))
+                dA_dt = np.einsum("ij,ij->i", (A_new - prev) / prev_dt,
+                                  ndirs)
+                updates["A_applied"] = jnp.asarray(
+                    self.maps.edge_to_grid(A_new)
+                )
+                updates["dA_dt"] = jnp.asarray(self.maps.edge_to_grid(
+                    dA_dt.astype(self.rdtype)
+                ))
+            else:
+                prev = to_numpy(state.A_applied)
+                dA_dt = np.einsum("ij,ij->i", (A_new - prev) / prev_dt,
+                                  ndirs)
+                updates["A_applied"] = jnp.asarray(A_new)
+                updates["dA_dt"] = jnp.asarray(dA_dt.astype(self.rdtype))
         if self.dynamic_epsilon and not self._jittable_eps:
-            updates["epsilon"] = jnp.asarray(self._eval_epsilon(time))
+            eps = self._eval_epsilon(time)
+            if self.structured:
+                eps = self.maps.site_to_grid(eps)
+            updates["epsilon"] = jnp.asarray(eps)
         if self.dynamic_currents:
-            updates["mu_boundary"] = jnp.asarray(self._mu_boundary(time))
+            mu_b = self._mu_boundary(time)
+            if self.structured:
+                updates["neumann_term"] = jnp.asarray(
+                    self._host_neumann_term(mu_b)
+                )
+            else:
+                updates["mu_boundary"] = jnp.asarray(mu_b)
         if updates:
             state = state._replace(**updates)
         return state
@@ -542,6 +650,10 @@ class TDGLSolver:
             normal_current = np.zeros(n_edges, dtype=self.rdtype)
             A_induced = np.zeros((n_edges, 2), dtype=self.rdtype)
         rd = self.rdtype
+        if self.structured:
+            return self._initial_grid_state(
+                psi, mu, supercurrent, normal_current, A_induced
+            )
         # Host-side export view of the initial state (used for the step-0
         # snapshot; no device round trip needed).
         self._initial_export = dict(
@@ -585,10 +697,80 @@ class TDGLSolver:
             failed=jnp.asarray(False),
         )
 
+    def _initial_grid_state(self, psi, mu, supercurrent, normal_current,
+                            A_induced):
+        """Assemble the grid-backend state (and its step-0 export dict)."""
+        options = self.options
+        rd = self.rdtype
+        maps = self.maps
+        s2g = maps.site_to_grid
+        e2g = maps.edge_to_grid
+        psi_r = s2g(np.ascontiguousarray(np.real(psi), dtype=rd))
+        psi_i = s2g(np.ascontiguousarray(np.imag(psi), dtype=rd))
+        A_applied = e2g(self.current_A_applied.astype(rd))
+        mu_b = self._mu_boundary(0.0)
+        self._initial_export = dict(
+            psi_real=psi_r,
+            psi_imag=psi_i,
+            mu=s2g(np.asarray(mu, rd)),
+            supercurrent=e2g(np.asarray(supercurrent, rd)),
+            normal_current=e2g(np.asarray(normal_current, rd)),
+            induced_vector_potential=e2g(np.asarray(A_induced, rd)),
+            applied_vector_potential=A_applied,
+            epsilon=s2g(np.asarray(self.epsilon, rd)),
+            diagnostics=np.array(
+                [0.0, options.dt_init, options.dt_init, 0.0, 0.0, 0.0],
+                np.float32,
+            ),
+        )
+        from .grid_step import GridState
+
+        shape3 = (3,) + maps.shape
+        return GridState(
+            psi_r=jnp.asarray(psi_r),
+            psi_i=jnp.asarray(psi_i),
+            mu=jnp.asarray(s2g(np.asarray(mu, rd))),
+            supercurrent=jnp.asarray(e2g(np.asarray(supercurrent, rd))),
+            normal_current=jnp.asarray(e2g(np.asarray(normal_current, rd))),
+            A_induced=jnp.asarray(e2g(np.asarray(A_induced, rd))),
+            A_applied=jnp.asarray(A_applied),
+            epsilon=jnp.asarray(s2g(np.asarray(self.epsilon, rd))),
+            neumann_term=jnp.asarray(self._host_neumann_term(mu_b)),
+            dA_dt=jnp.zeros(shape3, rd),
+            tentative_dt=jnp.asarray(options.dt_init, rd),
+            prev_dt=jnp.asarray(options.dt_init, rd),
+            time=jnp.asarray(0.0, rd),
+            step=jnp.asarray(0, jnp.int32),
+            dpsi_window=jnp.zeros(options.adaptive_window, rd),
+            end_time=jnp.asarray(options.solve_time, rd),
+            done=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        )
+
     def _state_to_arrays(self, exported: Dict[str, np.ndarray]
                          ) -> Dict[str, np.ndarray]:
         """Convert the (host numpy) exported-state dict from
         ``step.export_state_arrays`` into the snapshot schema."""
+        if self.structured:
+            g2s = self.maps.grid_to_site
+            g2e = self.maps.grid_to_edge
+            data = dict(
+                psi=g2s(exported["psi_real"])
+                + 1j * g2s(exported["psi_imag"]),
+                mu=g2s(exported["mu"]),
+                supercurrent=g2e(exported["supercurrent"]),
+                normal_current=g2e(exported["normal_current"]),
+                induced_vector_potential=g2e(
+                    exported["induced_vector_potential"]
+                ),
+            )
+            if self.dynamic_vector_potential:
+                data["applied_vector_potential"] = g2e(
+                    exported["applied_vector_potential"]
+                )
+            if self.dynamic_epsilon:
+                data["epsilon"] = g2s(exported["epsilon"])
+            return data
         data = dict(
             psi=exported["psi_real"] + 1j * exported["psi_imag"],
             mu=exported["mu"],

@@ -153,6 +153,8 @@ class StepConfig:
     # CG iterations per mu solve inside the screening fixed point (fixed
     # count -> smooth map; see ``observables``).
     screening_cg_iters: int = 32
+    # Fixed CG iteration count for every mu solve (None = tolerance-stopped).
+    poisson_fixed_iters: Optional[int] = None
 
 
 def make_step_fn(cfg: StepConfig):
@@ -214,6 +216,8 @@ def make_step_fn(cfg: StepConfig):
         """
         J_s = gtdgl.supercurrent_on_edges(op, U, psi)
         rhs = gtdgl.poisson_rhs(op, J_s, dA_dt, mu_boundary)
+        if fixed_iters is None:
+            fixed_iters = cfg.poisson_fixed_iters
         cg = solve_mu_poisson(
             op, rhs, mu_guess,
             tol=cfg.poisson_tolerance, maxiter=cfg.poisson_max_iterations,
@@ -358,9 +362,15 @@ def make_step_fn(cfg: StepConfig):
             screening_iters = s
         else:
             (psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters,
-             _cg_res) = tdgl_update(
+             cg_res) = tdgl_update(
                 state.psi, state.mu, state.A_induced, dt0
             )
+            if cfg.poisson_fixed_iters is not None:
+                # Fixed-iteration CG has no internal stopping test; verify
+                # the (precision-floored) tolerance was met.
+                res_allowed = max(cfg.poisson_tolerance,
+                                  50.0 * float(jnp.finfo(rdtype).eps))
+                fail = jnp.logical_or(fail, cg_res > res_allowed)
             A_induced = state.A_induced
             screening_iters = np.int32(0)
 

@@ -1,0 +1,257 @@
+"""Parity of the hex-grid stencil backend against the ELL backend.
+
+Both backends discretize the same equations on the same structured mesh, so
+every operator must agree to rounding. The ELL forms are themselves verified
+against SciPy sparse matrices in ``test_operators.py``, making this a full
+chain back to the textbook definitions.
+"""
+
+import numpy as np
+import pytest
+
+import tdgl_tpu as tdgl
+from tdgl_tpu.fv.operators import build_operators
+from tdgl_tpu.fv.stencil_operators import build_stencil_operators
+from tdgl_tpu.geometry import box, circle
+from tdgl_tpu.models import gtdgl, gtdgl_stencil
+
+
+@pytest.fixture(scope="module")
+def structured_device():
+    layer = tdgl.Layer(coherence_length=0.5, london_lambda=2,
+                       thickness=0.05, conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(8)).resample(200)
+    hole = tdgl.Polygon("hole", points=circle(1.0, center=(1.5, 1.5)))
+    device = tdgl.Device("stenc", layer=layer, film=film, holes=[hole])
+    device.make_mesh(min_points=2500, structured=True)
+    return device
+
+
+@pytest.fixture(scope="module")
+def backends(structured_device):
+    mesh = structured_device.mesh
+    rng = np.random.default_rng(7)
+    # A few synthetic terminal (fixed) sites on the boundary.
+    fixed = np.asarray(mesh.boundary_indices[:7], dtype=np.int32)
+    op = build_operators(mesh, fixed_sites=fixed, dtype=np.float64)
+    sten, maps = build_stencil_operators(mesh, fixed_sites=fixed,
+                                         dtype=np.float64)
+    return mesh, op, sten, maps, rng
+
+
+def test_grid_maps_roundtrip(backends):
+    mesh, op, sten, maps, rng = backends
+    v = rng.normal(size=maps.n_sites)
+    assert np.array_equal(maps.grid_to_site(maps.site_to_grid(v)), v)
+    e = rng.normal(size=(maps.n_edges, 2))
+    assert np.array_equal(maps.grid_to_edge(maps.edge_to_grid(e)), e)
+
+
+def test_geometry_tables_match(backends):
+    mesh, op, sten, maps, rng = backends
+    assert np.allclose(maps.grid_to_site(np.asarray(sten.area)), op.areas)
+    assert np.allclose(
+        maps.grid_to_edge(np.asarray(sten.w).reshape(3, *maps.shape)),
+        op.dual_edge_lengths / op.edge_lengths,
+    )
+    # Class direction vectors match the actual mesh edge directions.
+    k = mesh.grid.edge_krc[:, 0]
+    dirs = np.asarray(mesh.edge_mesh.directions)
+    assert np.allclose(dirs, np.asarray(sten.edge_dirs)[k], atol=1e-8)
+
+
+def test_scalar_laplacian_parity(backends):
+    mesh, op, sten, maps, rng = backends
+    x = rng.normal(size=maps.n_sites)
+    want = np.asarray(gtdgl.scalar_laplacian_sym(op, x))
+    got_grid = gtdgl_stencil.scalar_laplacian_sym(
+        sten, maps.site_to_grid(x)
+    )
+    got = maps.grid_to_site(np.asarray(got_grid))
+    assert np.allclose(got, want, atol=1e-10)
+
+
+def test_gradient_and_supercurrent_parity(backends):
+    mesh, op, sten, maps, rng = backends
+    x = rng.normal(size=maps.n_sites)
+    want = np.asarray(gtdgl.gradient_on_edges(op, x))
+    got = maps.grid_to_edge(
+        np.asarray(gtdgl_stencil.gradient_on_edges(sten,
+                                                   maps.site_to_grid(x)))
+    )
+    assert np.allclose(got, want, atol=1e-10)
+
+    A = rng.normal(size=(maps.n_edges, 2)) * 0.3
+    psi = rng.normal(size=maps.n_sites) + 1j * rng.normal(size=maps.n_sites)
+    U = np.asarray(gtdgl.edge_link_phases(A, op.edge_directions))
+    want_J = np.asarray(gtdgl.supercurrent_on_edges(op, U, psi))
+
+    A_grid = maps.edge_to_grid(A)
+    U = gtdgl_stencil.edge_link_phases(sten, A_grid)
+    got_J = maps.grid_to_edge(np.asarray(
+        gtdgl_stencil.supercurrent_on_edges(
+            sten, U,
+            maps.site_to_grid(psi.real), maps.site_to_grid(psi.imag),
+        )
+    ))
+    assert np.allclose(got_J, want_J, atol=1e-10)
+
+
+def test_covariant_laplacian_parity(backends):
+    mesh, op, sten, maps, rng = backends
+    A = rng.normal(size=(maps.n_edges, 2)) * 0.3
+    psi = rng.normal(size=maps.n_sites) + 1j * rng.normal(size=maps.n_sites)
+    U = np.asarray(gtdgl.edge_link_phases(A, op.edge_directions))
+    want = np.asarray(gtdgl.covariant_laplacian(op, U, psi))
+
+    U = gtdgl_stencil.edge_link_phases(sten, maps.edge_to_grid(A))
+    lr, li = gtdgl_stencil.covariant_laplacian(
+        sten, U,
+        maps.site_to_grid(psi.real), maps.site_to_grid(psi.imag),
+    )
+    got = maps.grid_to_site(np.asarray(lr)) + 1j * maps.grid_to_site(
+        np.asarray(li)
+    )
+    assert np.allclose(got, want, atol=1e-10)
+
+
+def test_divergence_and_site_average_parity(backends):
+    mesh, op, sten, maps, rng = backends
+    F = rng.normal(size=maps.n_edges)
+    want = np.asarray(gtdgl.divergence_on_sites(op, F))
+    got = maps.grid_to_site(np.asarray(
+        gtdgl_stencil.divergence_on_sites(sten, maps.edge_to_grid(F))
+    ))
+    assert np.allclose(got, want, atol=1e-10)
+
+    want_site = np.asarray(
+        gtdgl.edge_quantity_to_sites(op, F, maps.n_sites)
+    )
+    got_site = maps.grid_to_site(np.asarray(
+        gtdgl_stencil.edge_quantity_to_sites(sten, maps.edge_to_grid(F))
+    ))
+    assert np.allclose(got_site, want_site, atol=1e-10)
+
+
+def test_neumann_term_parity(backends):
+    mesh, op, sten, maps, rng = backends
+    mu_b = rng.normal(size=len(op.boundary_edge_indices))
+    want = np.asarray(
+        gtdgl.neumann_boundary_term(op, mu_b, maps.n_sites)
+    )
+    got = maps.grid_to_site(np.asarray(
+        gtdgl_stencil.neumann_boundary_term(sten, mu_b)
+    ))
+    assert np.allclose(got, want, atol=1e-10)
+    # Boundary-edge ordering matches between the two backends (the host
+    # computes mu_boundary in ELL boundary-edge order).
+    assert np.array_equal(op.boundary_edge_indices,
+                          np.asarray(mesh.edge_mesh.boundary_edge_indices))
+
+
+def test_implicit_euler_parity(backends):
+    mesh, op, sten, maps, rng = backends
+    A = rng.normal(size=(maps.n_edges, 2)) * 0.2
+    psi = (rng.normal(size=maps.n_sites)
+           + 1j * rng.normal(size=maps.n_sites)) * 0.5
+    sq = np.abs(psi) ** 2
+    mu = rng.normal(size=maps.n_sites)
+    eps = np.ones(maps.n_sites)
+    gamma, u, dt = 10.0, 5.79, 1e-3
+
+    U = np.asarray(gtdgl.edge_link_phases(A, op.edge_directions))
+    want = gtdgl.implicit_euler_psi(op, U, psi, sq, mu, eps, gamma, u, dt)
+
+    U = gtdgl_stencil.edge_link_phases(sten, maps.edge_to_grid(A))
+    got = gtdgl_stencil.implicit_euler_psi(
+        sten, U,
+        maps.site_to_grid(psi.real), maps.site_to_grid(psi.imag),
+        maps.site_to_grid(sq), maps.site_to_grid(mu),
+        maps.site_to_grid(eps), gamma, u, dt,
+    )
+    got_psi = (maps.grid_to_site(np.asarray(got.psi_r))
+               + 1j * maps.grid_to_site(np.asarray(got.psi_i)))
+    assert bool(got.ok) == bool(want.ok)
+    assert np.allclose(got_psi, np.asarray(want.psi), atol=1e-10)
+    assert np.allclose(maps.grid_to_site(np.asarray(got.abs_sq_psi)),
+                       np.asarray(want.abs_sq_psi), atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end backend parity: same structured mesh, ELL vs stencil solver.
+# ---------------------------------------------------------------------------
+
+def _trajectory(device, backend, steps=400, dt=1e-3, field=0.5,
+                currents=None, **solver_kwargs):
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.solver.solver import TDGLSolver
+    from tdgl_tpu.utils.jaxio import tree_to_numpy
+
+    options = tdgl.SolverOptions(
+        solve_time=1e9,             # run by step count
+        dt_init=dt,
+        adaptive=False,
+        save_every=steps,
+        dtype="float64",
+        solver_backend=backend,
+        field_units="mT",
+        current_units="uA",
+        # Tight mu solves so backend differences in CG stopping points do
+        # not mask discretization parity.
+        poisson_tolerance=1e-11,
+    )
+    solver = TDGLSolver(device, options,
+                        applied_vector_potential=field,
+                        terminal_currents=currents, **solver_kwargs)
+    state = solver._initial_state()
+    n_chunks = steps // solver.chunk_size
+    for _ in range(n_chunks):
+        state, outputs, exported = solver.chunk_fn(state)
+    data = solver._state_to_arrays(tree_to_numpy(exported))
+    diag = tree_to_numpy(exported)["diagnostics"]
+    assert not bool(diag[5]), f"{backend} solver failed"
+    return data
+
+
+def test_backend_trajectory_parity(structured_device):
+    """ELL and stencil backends produce identical trajectories (fixed dt,
+    float64) on the same structured mesh: the two data layouts encode the
+    same discrete equations."""
+    a = _trajectory(structured_device, "ell")
+    b = _trajectory(structured_device, "stencil")
+    scale = np.abs(a["psi"]).max()
+    assert np.abs(a["psi"] - b["psi"]).max() / scale < 1e-9
+    mu_scale = max(np.abs(a["mu"]).max(), 1e-12)
+    assert np.abs(a["mu"] - b["mu"]).max() / mu_scale < 1e-7
+    assert np.allclose(a["supercurrent"], b["supercurrent"], atol=1e-9)
+    assert np.allclose(a["normal_current"], b["normal_current"], atol=1e-9)
+
+
+def test_backend_transport_parity():
+    """Terminal-current (Neumann BC) handling matches between backends."""
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+
+    xi = 1.0
+    layer = tdgl.Layer(coherence_length=xi, london_lambda=2, thickness=0.1)
+    film = tdgl.Polygon("film", points=box(16, 6)).resample(300)
+    # NOTE: on a staircase (structured) mesh, boundary sites sit up to one
+    # lattice spacing inside the polygon edge, so terminal polygons must be
+    # wide enough to overlap them (here 1.5 >> h).
+    source = tdgl.Polygon(points=box(1.5, 6, center=(-8, 0))).set_name(
+        "source"
+    )
+    drain = source.copy().scale(xfact=-1).set_name("drain")
+    device = tdgl.Device(
+        "bar", layer=layer, film=film, terminals=[source, drain],
+        probe_points=[(-6, 0), (6, 0)], length_units="um",
+    )
+    device.make_mesh(min_points=1800, structured=True)
+    currents = dict(source=3.0, drain=-3.0)
+    a = _trajectory(device, "ell", steps=300, field=0.0, currents=currents)
+    b = _trajectory(device, "stencil", steps=300, field=0.0,
+                    currents=currents)
+    scale = np.abs(a["psi"]).max()
+    assert np.abs(a["psi"] - b["psi"]).max() / scale < 1e-9
+    mu_scale = max(np.abs(a["mu"]).max(), 1e-12)
+    assert np.abs(a["mu"] - b["mu"]).max() / mu_scale < 1e-7
