@@ -3,18 +3,24 @@
 Measures simulation iterations per wall-clock second — the same quantity the
 reference logs in its runner (``tdgl/solver/runner.py:386-395``) — on the
 north-star workload from BASELINE.md: a 50k-site mesh, screening off, with
-the adaptive time step active.
+the adaptive time step active. The workload runs on the structured (stencil)
+solver backend — the production TPU path.
 
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N,
+     "provenance": {...}}
 
 ``vs_baseline`` is measured throughput divided by the 1e4 steps/sec target
 (the reference itself publishes no quantitative numbers; see BASELINE.md).
+``provenance`` records attempted sizes, fault reasons, and the backend so a
+healthy-vs-degraded round is machine-readable.
 """
 
 import json
 import sys
 import time
+
+CHUNK = 2000  # steps fused per dispatch (amortizes ~35 ms tunnel overhead)
 
 
 def build_device(target_sites: int = 50_000):
@@ -35,22 +41,23 @@ def build_device(target_sites: int = 50_000):
     )
     device = tdgl.Device("bench", layer=layer, film=film, length_units="um")
     device.make_mesh(min_points=target_sites, max_edge_length=0.75,
-                     smooth=10)
+                     structured=True)
     return device
 
 
 def measure(target_sites: int, attempts: int):
     """Build the workload at ``target_sites`` and measure steps/sec.
 
-    Returns ``(n_sites, steps_per_sec or None)``. Timing is fetch-forced and
-    execution-proven (see inline comments); ``None`` means the backend never
-    produced a trustworthy run at this size.
+    Returns ``(n_sites, steps_per_sec or None, notes)``. Timing is
+    fetch-forced and execution-proven (see inline comments); ``None`` means
+    the backend never produced a trustworthy run at this size.
     """
     import numpy as np
 
     import tdgl_tpu as tdgl
     from tdgl_tpu.solver.solver import TDGLSolver
 
+    notes = []
     t_setup = time.perf_counter()
     device = build_device(target_sites)
     n_sites = len(device.mesh.sites)
@@ -65,7 +72,8 @@ def measure(target_sites: int, attempts: int):
         solve_time=1e9,           # run by step count, not simulation time
         dt_init=1e-4,
         dt_max=1e-2,
-        save_every=500,
+        save_every=CHUNK,
+        steps_per_chunk=CHUNK,
         field_units="mT",
         current_units="uA",
         dtype="float32",
@@ -74,6 +82,9 @@ def measure(target_sites: int, attempts: int):
     state = solver._initial_state()
     chunk_fn = solver.chunk_fn
     chunk = solver.chunk_size
+    notes.append(f"backend={'stencil' if solver.structured else 'ell'}"
+                 f" grid={getattr(solver, 'maps', None) and solver.maps.shape}"
+                 f" chunk={chunk}")
 
     import jax
 
@@ -87,12 +98,13 @@ def measure(target_sites: int, attempts: int):
         try:
             for _ in range(2):
                 state, _, exported_dev = chunk_fn(state)
-            jax.block_until_ready(state.psi)
+            jax.block_until_ready(state.mu)
             canary = tree_to_numpy(exported_dev)["diagnostics"]
             assert np.isfinite(canary).all()
             print(f"# compiled; backend={jax.default_backend()};"
                   f" canary time={canary[0]:.3f}", file=sys.stderr)
         except Exception as exc:
+            notes.append(f"attempt {attempt}: unhealthy ({str(exc)[:60]})")
             print(f"# attempt {attempt}: backend unhealthy"
                   f" ({str(exc)[:60]}); backing off", file=sys.stderr)
             time.sleep(45 * (attempt + 1))
@@ -106,13 +118,15 @@ def measure(target_sites: int, attempts: int):
         # The cumulative in-program step counter then proves every timed
         # step actually executed (dispatches cannot silently no-op).
         steps_before = int(tree_to_numpy(exported_dev)["diagnostics"][3])
-        n_chunks = max(4, 4000 // chunk)
+        n_chunks = max(4, 8000 // chunk)
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             state, outputs, exported_dev = chunk_fn(state)
         try:
             exported = tree_to_numpy(exported_dev)
         except Exception as exc:
+            notes.append(f"attempt {attempt}: post-run transfer failed"
+                         f" ({str(exc)[:60]})")
             print(f"# post-run transfer failed ({str(exc)[:60]});"
                   " timing untrusted, retrying", file=sys.stderr)
             time.sleep(45 * (attempt + 1))
@@ -130,7 +144,9 @@ def measure(target_sites: int, attempts: int):
             f"only {executed}/{steps} timed steps executed on device"
         n_valid = int(np.sum(to_numpy(outputs.valid)))
         assert n_valid == chunk, f"only {n_valid}/{chunk} steps ran"
-        psi_abs = np.abs(exported["psi_real"] + 1j * exported["psi_imag"])
+        psi_abs = np.sqrt(exported["psi_real"]**2 + exported["psi_imag"]**2)
+        if solver.structured:
+            psi_abs = solver.maps.grid_to_site(psi_abs)
         print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
               f" time={diag[0]:.2f}, mean cg iters="
               f"{np.mean(to_numpy(outputs.cg_iterations)):.1f}",
@@ -139,41 +155,46 @@ def measure(target_sites: int, attempts: int):
             "no vortices: benchmark not exercising dynamics"
         print(f"# sanity checks passed ({executed} steps in"
               f" {elapsed:.2f}s)", file=sys.stderr)
-        return n_sites, steps / elapsed
-    return n_sites, None
+        return n_sites, steps / elapsed, notes
+    return n_sites, None, notes
 
 
-def _emit(n_sites, steps_per_sec):
+def _emit(n_sites, steps_per_sec, provenance):
     target = 1e4  # BASELINE.md north-star target
     print(json.dumps({
         "metric": f"tdgl_steps_per_sec_{n_sites}site_mesh",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / target, 4),
+        "provenance": provenance,
     }), flush=True)
 
 
 def _measure_child(target_sites: int, attempts: int) -> None:
     """Child-process entry: measure one size, print one JSON line."""
     try:
-        n_sites, sps = measure(target_sites, attempts)
+        n_sites, sps, notes = measure(target_sites, attempts)
     except Exception as exc:
-        print(f"# measurement crashed: {str(exc)[:100]}", file=sys.stderr)
+        print(f"# measurement crashed: {str(exc)[:200]}", file=sys.stderr)
+        print("NOTES " + json.dumps([f"crashed: {str(exc)[:120]}"]),
+              file=sys.stderr)
         sys.exit(3)
+    print("NOTES " + json.dumps(notes), file=sys.stderr)
     if sps is None:
         sys.exit(4)
-    _emit(n_sites, sps)
+    _emit(n_sites, sps, provenance={
+        "target_sites": target_sites, "notes": notes,
+    })
 
 
 def main():
-    # Prefer the full 50k-site workload. The tunneled backend currently
-    # faults on programs at that size in its degraded phases AND a fault
-    # wedges the whole device session, so each size runs in its own
-    # subprocess (fresh session); on failure we fall back to smaller meshes
-    # rather than reporting nothing. The metric name records the actual
-    # size measured.
+    # Prefer the full 50k-site workload; fall back to smaller meshes rather
+    # than reporting nothing. Each size runs in its own subprocess: a TPU
+    # kernel fault wedges the whole device session. The metric name records
+    # the actual size measured; "provenance" records every attempt.
     import subprocess
 
+    attempts_log = []
     last_sites = 0
     for target, attempts, tmo in ((50_000, 3, 900), (25_000, 2, 700),
                                   (10_000, 2, 600)):
@@ -185,14 +206,33 @@ def main():
                 capture_output=True, text=True, timeout=tmo,
             )
         except subprocess.TimeoutExpired:
+            attempts_log.append({"sites": target, "outcome": "timeout"})
             print(f"# ~{target} sites: timed out; falling back",
                   file=sys.stderr)
             continue
-        sys.stderr.write(proc.stderr)
+        sys.stderr.write("\n".join(
+            ln for ln in proc.stderr.splitlines()
+            if not ln.startswith("NOTES ")
+        ) + "\n")
+        notes = []
+        for ln in proc.stderr.splitlines():
+            if ln.startswith("NOTES "):
+                notes = json.loads(ln[6:])
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                print(line, flush=True)
+                payload = json.loads(line)
+                attempts_log.append({"sites": target, "outcome": "ok"})
+                payload["provenance"] = {
+                    "attempts": attempts_log,
+                    "notes": notes,
+                    "chunk_steps": CHUNK,
+                }
+                print(json.dumps(payload), flush=True)
                 return
+        attempts_log.append({
+            "sites": target, "outcome": f"rc={proc.returncode}",
+            "notes": notes,
+        })
         print(f"# no trustworthy run at ~{target} sites; falling back",
               file=sys.stderr)
 
@@ -203,6 +243,7 @@ def main():
         "value": 0.0,
         "unit": "steps/sec",
         "vs_baseline": 0.0,
+        "provenance": {"attempts": attempts_log},
     }))
 
 

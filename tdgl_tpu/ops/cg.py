@@ -83,8 +83,13 @@ def cg_solve(
     tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
 
     def M_inv(v):
+        # No deflation projection of z: with r kept deflated, any constant
+        # component of z is invisible to rz (constants are orthogonal to the
+        # projected r), contributes nothing through A p, and only shifts x
+        # by a constant — which the final projection removes. Skipping it
+        # saves a reduction per iteration.
         if precond is not None:
-            return project(precond(v))
+            return precond(v)
         if precond_inv_diag is None:
             return v
         return precond_inv_diag.astype(rdtype) * v
@@ -171,8 +176,10 @@ def cg_solve_fixed(
     x0 = project(x0)
 
     def M_inv(v):
+        # See cg_solve: z needs no deflation projection while r stays
+        # deflated.
         if precond is not None:
-            return project(precond(v))
+            return precond(v)
         if precond_inv_diag is None:
             return v
         return precond_inv_diag.astype(rdtype) * v
@@ -247,7 +254,7 @@ def solve_mu_poisson_grid(
         apply_amg = make_grid_amg_apply(amg_omega)
 
         def precond(v):
-            return apply_amg(apply_A, amg, v)
+            return apply_amg(amg, v)
     else:
         inv_diag = jnp.where(
             valid > 0,

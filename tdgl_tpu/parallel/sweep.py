@@ -26,8 +26,7 @@ from ..device.device import Device
 from ..utils.jaxio import to_numpy, tree_to_numpy
 from ..solver.options import SolverOptions
 from ..solver.solver import TDGLSolver
-from ..solver.step import (SolverState, StepOutputs, export_diagnostics,
-                           export_state_arrays, make_chunk_fn)
+from ..solver.step import StepOutputs
 
 
 @dataclass
@@ -172,6 +171,13 @@ def solve_sweep(
             for b in range(B)
         ])
     base_state = solver._initial_state()
+    structured = solver.structured
+
+    def batched_neumann(times: np.ndarray) -> np.ndarray:
+        """Grid-backend analog of :func:`batched_mu_boundary`: the dense
+        pre-scattered Neumann term per member."""
+        mb = batched_mu_boundary(times)
+        return np.stack([solver._host_neumann_term(mb[b]) for b in range(B)])
 
     # Broadcast the state over the batch axis, scaling the swept input.
     def broadcast(leaf):
@@ -179,19 +185,28 @@ def solve_sweep(
 
     batched = jax.tree.map(broadcast, base_state)
     scales_j = jnp.asarray(scales, base_state.A_applied.dtype)
+
+    def bscale(leaf):
+        return leaf * scales_j.reshape((B,) + (1,) * (leaf.ndim - 1))
+
     if field_scales is not None:
-        batched = batched._replace(
-            A_applied=batched.A_applied * scales_j[:, None, None]
-        )
+        batched = batched._replace(A_applied=bscale(batched.A_applied))
     elif dynamic_currents:
-        batched = batched._replace(
-            mu_boundary=jnp.asarray(
+        if structured:
+            batched = batched._replace(neumann_term=jnp.asarray(
+                batched_neumann(np.zeros(B)), base_state.mu.dtype
+            ))
+        else:
+            batched = batched._replace(mu_boundary=jnp.asarray(
                 batched_mu_boundary(np.zeros(B)), base_state.mu.dtype
-            )
+            ))
+    elif structured:
+        batched = batched._replace(
+            neumann_term=bscale(batched.neumann_term)
         )
     else:
         batched = batched._replace(
-            mu_boundary=batched.mu_boundary * scales_j[:, None]
+            mu_boundary=bscale(batched.mu_boundary)
         )
 
     # Shard the batch axis across devices.
@@ -203,10 +218,11 @@ def solve_sweep(
     batched = jax.tree.map(shard, batched)
 
     chunk_size = solver.chunk_size
-    chunk_fn = make_chunk_fn(solver.cfg, chunk_size)
+    chunk_fn = solver._raw_chunk_fn  # grid or ELL, per the device's mesh
     batched_chunk = jax.jit(
         jax.vmap(chunk_fn, in_axes=(None, None, None, 0))
     )
+    op_arg = solver.sten if structured else solver.op
 
     if max_steps is None:
         max_steps = int(
@@ -218,7 +234,7 @@ def solve_sweep(
     exported = None
     while total < max_steps:
         state, outputs, exported_dev = batched_chunk(
-            solver.op, solver._screening_weights, solver.amg, state
+            op_arg, solver._screening_weights, solver.amg, state
         )
         outputs = tree_to_numpy(outputs)
         outputs_list.append(outputs)
@@ -231,10 +247,16 @@ def solve_sweep(
         if dynamic_currents:
             # Re-evaluate the bias at each member's own simulation time and
             # push the new Neumann BCs for the next chunk.
-            mb = batched_mu_boundary(diag[:, 0])
-            state = state._replace(
-                mu_boundary=shard(jnp.asarray(mb, base_state.mu.dtype))
-            )
+            if structured:
+                nt = batched_neumann(diag[:, 0])
+                state = state._replace(
+                    neumann_term=shard(jnp.asarray(nt, base_state.mu.dtype))
+                )
+            else:
+                mb = batched_mu_boundary(diag[:, 0])
+                state = state._replace(
+                    mu_boundary=shard(jnp.asarray(mb, base_state.mu.dtype))
+                )
     diag = exported["diagnostics"]
     failed = diag[:, 5] > 0
     if raise_on_failure and bool(np.any(failed)):
@@ -255,12 +277,30 @@ def solve_sweep(
                           axis=1)  # (B, T, P)
     th_p = np.concatenate([np.asarray(o.theta_probe) for o in outputs_list],
                           axis=1)
+    if structured:
+        maps = solver.maps
+
+        def g2s(g):
+            return g.reshape(B, -1)[:, maps.site_flat]
+
+        def g2e(g):
+            return g.reshape((B, -1) + g.shape[4:])[:, maps.edge_flat]
+
+        psi = g2s(exported["psi_real"]) + 1j * g2s(exported["psi_imag"])
+        mu_final = g2s(exported["mu"])
+        sc = g2e(exported["supercurrent"])
+        nc = g2e(exported["normal_current"])
+    else:
+        psi = exported["psi_real"] + 1j * exported["psi_imag"]
+        mu_final = exported["mu"]
+        sc = exported["supercurrent"]
+        nc = exported["normal_current"]
     return SweepResult(
         values=scales,
-        psi=exported["psi_real"] + 1j * exported["psi_imag"],
-        mu=exported["mu"],
-        supercurrent=exported["supercurrent"],
-        normal_current=exported["normal_current"],
+        psi=psi,
+        mu=mu_final,
+        supercurrent=sc,
+        normal_current=nc,
         dynamics_dt=dt,
         dynamics_mu=np.transpose(mu_p, (0, 2, 1)),
         dynamics_theta=np.transpose(th_p, (0, 2, 1)),

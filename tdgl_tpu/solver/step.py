@@ -144,7 +144,7 @@ class StepConfig:
     # device arrays travel as a traced argument; only the static flag and
     # smoothing weight live here.
     use_amg: bool = False
-    amg_omega: float = 0.6
+    amg_omega: float = 0.9
     # Globally-normalized screening error (f32 path; see SolverOptions
     # ``screening_error_norm``) instead of the reference's per-edge ratio.
     screening_global_error_norm: bool = False
