@@ -173,6 +173,17 @@ def _emit(n_sites, steps_per_sec, provenance):
 def _measure_child(target_sites: int, attempts: int) -> None:
     """Child-process entry: measure one size, print one JSON line."""
     try:
+        # The deep-multigrid chunk program takes minutes to compile; the
+        # persistent cache makes warm re-runs (retries, repeat benches)
+        # near-instant.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+    try:
         n_sites, sps, notes = measure(target_sites, attempts)
     except Exception as exc:
         print(f"# measurement crashed: {str(exc)[:200]}", file=sys.stderr)

@@ -126,7 +126,10 @@ def build_stencil_operators(
         )
     em = mesh.edge_mesh
     R, C = grid.rows, grid.cols
-    Rp = _pad_to(R, 8)
+    # Rows pad to 32 (not just the 8 the TPU tiling needs): the multigrid
+    # hierarchy halves the grid per level, so divisibility depth directly
+    # sets how small (and cheap) the dense coarsest solve can get.
+    Rp = _pad_to(R, 32)
     Cp = _pad_to(C, 128)
     shape = (Rp, Cp)
     n_flat = Rp * Cp

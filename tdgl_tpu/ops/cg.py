@@ -249,12 +249,12 @@ def solve_mu_poisson_grid(
     precond = None
     inv_diag = None
     if amg is not None:
-        from .grid_amg import make_grid_amg_apply
+        from .hexmg import make_hexmg_apply
 
-        apply_amg = make_grid_amg_apply(amg_omega)
+        apply_mg = make_hexmg_apply(amg_omega)
 
         def precond(v):
-            return apply_amg(amg, v)
+            return apply_mg(amg, v)
     else:
         inv_diag = jnp.where(
             valid > 0,

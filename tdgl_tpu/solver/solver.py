@@ -306,14 +306,12 @@ class TDGLSolver:
         if not self._use_amg:
             self.amg = None
         elif self.structured:
-            from ..ops.grid_amg import build_grid_amg
+            from ..ops.hexmg import build_hexmg
 
-            host_amg = build_grid_amg(mesh, host_sten, self.maps,
-                                      dtype=self.rdtype)
-            self.amg = jax.tree.map(jnp.asarray, host_amg)
+            self.amg = build_hexmg(host_sten, self.maps, mesh)
             logger.info(
-                "Built grid AMG preconditioner: %d aggregates (8x8 tiles).",
-                host_amg.Ac_inv.shape[0],
+                "Built %d-level smoothed-aggregation multigrid: %s.",
+                len(self.amg.shapes), self.amg.shapes,
             )
         else:
             from ..ops.amg import build_amg
