@@ -113,7 +113,7 @@ def build_hexmg(
     maps,
     mesh,
     p_omega: float = 0.67,
-    min_coarse: int = 1000,
+    min_coarse: int = 2048,
     max_levels: int = 8,
     smooth_levels: int = 2,
 ) -> HexMGData:
@@ -124,7 +124,8 @@ def build_hexmg(
         maps: :class:`GridMaps`.
         mesh: The structured mesh (edge graph source).
         p_omega: Prolongation-smoothing weight in ``(I - omega D^+ A) P0``.
-        min_coarse: Stop coarsening below this many coarse nodes.
+        min_coarse: Solve directly (dense pseudo-inverse on the MXU) once a
+            level has at most this many grid nodes.
         smooth_levels: Smooth the prolongation only on the finest this-many
             levels; PWC below. SA stencils widen under Galerkin coarsening
             (7 -> 19 -> 43 offsets when smoothing everywhere), while PWC
@@ -153,8 +154,7 @@ def build_hexmg(
     p_omegas: List[float] = []
     R, C = Rp, Cp
     for lvl in range(max_levels):
-        if (R % 2 or C % 2 or (R // 2) * (C // 2) <= min_coarse
-                or min(R, C) < 8):
+        if R * C <= min_coarse or R % 2 or C % 2 or min(R, C) < 8:
             break
         d = A.diagonal()
         dinv = np.where(d > 1e-12, 1.0 / np.maximum(d, 1e-30), 0.0)

@@ -1,0 +1,89 @@
+"""Deep smoothed-aggregation multigrid (ops/hexmg.py) convergence gates."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tdgl_tpu as tdgl
+from tdgl_tpu.fv.stencil_operators import build_stencil_operators
+from tdgl_tpu.geometry import box
+from tdgl_tpu.models.gtdgl_stencil import scalar_laplacian_sym
+from tdgl_tpu.ops.cg import cg_solve
+from tdgl_tpu.ops.hexmg import build_hexmg, make_hexmg_apply
+
+
+@pytest.fixture(scope="module")
+def poisson_problem():
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1, conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(30)).resample(250)
+    device = tdgl.Device("mg", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=5000, structured=True)
+    sten, maps = build_stencil_operators(device.mesh, dtype=np.float32)
+    mg = build_hexmg(sten, maps, device.mesh)
+    sten_j = jax.tree.map(jnp.asarray, sten)
+    valid = jnp.asarray(sten.valid)
+    n_valid = float(np.asarray(sten.valid).sum())
+
+    def project(v):
+        return (v - jnp.sum(v * valid.astype(v.dtype)) / n_valid) \
+            * valid.astype(v.dtype)
+
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=maps.shape).astype(np.float32) * np.asarray(
+        sten.valid
+    )
+    return sten_j, mg, maps, project, b
+
+
+def test_hierarchy_structure(poisson_problem):
+    sten, mg, maps, project, b = poisson_problem
+    # Halving chain reaches a small dense coarsest level.
+    assert len(mg.shapes) >= 3
+    R0, C0 = mg.shapes[0]
+    for (Ra, Ca), (Rb, Cb) in zip(mg.shapes, mg.shapes[1:]):
+        assert (Rb, Cb) == (Ra // 2, Ca // 2)
+    nc = mg.shapes[-1][0] * mg.shapes[-1][1]
+    assert nc <= 4 * 1000  # dense coarsest stays small at any mesh size
+    # Fine level is the 6-offset hex stencil + diagonal.
+    assert len(mg.offsets[0]) == 7
+
+
+def test_f32_convergence(poisson_problem):
+    """Cold-started CG with the deep-MG preconditioner converges in a
+    handful of iterations (the two-level AMG it replaced needed ~20)."""
+    sten, mg, maps, project, b = poisson_problem
+    apply_mg = make_hexmg_apply(0.9)
+
+    def apply_A(x):
+        return -scalar_laplacian_sym(sten, x)
+
+    res = cg_solve(apply_A, project(jnp.asarray(b)),
+                   jnp.zeros(maps.shape, jnp.float32), tol=3e-6,
+                   maxiter=100, precond=lambda r: apply_mg(mg, r),
+                   project_fn=project)
+    assert int(res.iterations) <= 10
+    assert float(res.residual_norm) < 3e-6
+
+
+def test_f64_deep_tolerance(poisson_problem):
+    """The f64 path (full-precision cycle) reaches near-machine tolerances:
+    a bf16-rounded preconditioner would stall CG well above 1e-11."""
+    sten, mg, maps, project, b = poisson_problem
+    apply_mg = make_hexmg_apply(0.9)
+    sten64 = jax.tree.map(
+        lambda a: a.astype(jnp.float64)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        sten,
+    )
+
+    def apply_A(x):
+        return -scalar_laplacian_sym(sten64, x)
+
+    b64 = project(jnp.asarray(b, jnp.float64))
+    res = cg_solve(apply_A, b64, jnp.zeros(maps.shape, jnp.float64),
+                   tol=1e-11, maxiter=200,
+                   precond=lambda r: apply_mg(mg, r), project_fn=project)
+    assert float(res.residual_norm) < 1e-10
+    assert int(res.iterations) <= 30
