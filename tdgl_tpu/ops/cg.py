@@ -218,6 +218,63 @@ def cg_solve_fixed(
     return CGResult(project(x), jnp.int32(n_iters), res)
 
 
+def mg_richardson_grid(
+    sten,
+    rhs: jax.Array,
+    mu_prev: jax.Array,
+    amg,
+    tol: float = 1e-6,
+    maxiter: int = 50,
+    amg_omega: float = 0.9,
+) -> CGResult:
+    """Multigrid-Richardson mu solve (stencil backend).
+
+    ``x_{k+1} = x_k + M(b - A x_k)`` with ``M`` one deep-MG V-cycle
+    (:mod:`tdgl_tpu.ops.hexmg`), iterated until the relative residual meets
+    ``tol``. Compared to MG-preconditioned CG each iteration drops the two
+    dot products, the deflation projection, and the alpha/beta updates (one
+    residual-norm reduction remains for the stopping test). Whether it wins
+    depends on the V-cycle's contraction factor vs CG's acceleration —
+    exposed as ``SolverOptions.poisson_solver`` for measurement.
+    """
+    from ..models.gtdgl_stencil import scalar_laplacian_sym
+    from .hexmg import make_hexmg_apply
+
+    rdtype = rhs.dtype
+    valid = sten.valid.astype(rdtype)
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+    apply_mg = make_hexmg_apply(amg_omega)
+
+    def project(v):
+        return (v - jnp.sum(v * valid) / n_valid) * valid
+
+    def apply_A(x):
+        return -scalar_laplacian_sym(sten, x)
+
+    b = project(-(sten.area.astype(rdtype) * rhs))
+    x0 = project(mu_prev)
+    b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    eps = float(jnp.finfo(rdtype).eps)
+    tol_eff = max(float(tol), 50.0 * eps)
+    tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
+    r0 = b - apply_A(x0)
+
+    def cond(state):
+        _, r2, _, k = state
+        return jnp.logical_and(r2 > tol_sq, k < maxiter)
+
+    def body(state):
+        x, _, r, k = state
+        x = x + apply_mg(amg, r)
+        r = b - apply_A(x)
+        return (x, jnp.sum(r * r), r, k + 1)
+
+    x, r2, _, k = jax.lax.while_loop(
+        cond, body, (x0, jnp.sum(r0 * r0), r0, np.int32(0))
+    )
+    return CGResult(project(x), k, jnp.sqrt(r2 / b_norm_sq))
+
+
 def solve_mu_poisson_grid(
     sten,
     rhs: jax.Array,

@@ -129,17 +129,33 @@ def make_grid_step_fn(cfg: StepConfig):
         rhs = gs.poisson_rhs(sten, J_s, dA_dt, neumann_term)
         if fixed_iters is None:
             fixed_iters = cfg.poisson_fixed_iters
-        cg = solve_mu_poisson_grid(
-            sten, rhs, mu_guess,
-            tol=cfg.poisson_tolerance, maxiter=cfg.poisson_max_iterations,
-            amg=(amg if cfg.use_amg else None), amg_omega=cfg.amg_omega,
-            fixed_iters=fixed_iters,
-        )
+        if cfg.poisson_use_mg:
+            from ..ops.cg import mg_richardson_grid
+
+            cg = mg_richardson_grid(
+                sten, rhs, mu_guess, amg,
+                tol=cfg.poisson_tolerance,
+                maxiter=cfg.poisson_max_iterations,
+                amg_omega=cfg.amg_omega,
+            )
+        else:
+            cg = solve_mu_poisson_grid(
+                sten, rhs, mu_guess,
+                tol=cfg.poisson_tolerance,
+                maxiter=cfg.poisson_max_iterations,
+                amg=(amg if cfg.use_amg else None),
+                amg_omega=cfg.amg_omega,
+                fixed_iters=fixed_iters,
+            )
         J_n = -gs.gradient_on_edges(sten, cg.x) - dA_dt
         return J_s, cg.x, J_n, cg.iterations, cg.residual_norm
 
     def step(sten, screening_weights, amg, state: GridState,
              static_link=None):
+        # The grid backend's screening argument is (weights, fft_data) —
+        # fft_data is the precomputed convolution spectrum (or None when
+        # screening is off / a pairwise kernel is selected).
+        screening_weights, fft_data = screening_weights
         rdtype = state.mu.dtype
         time = state.time
         edge_valid = sten.edge_valid.astype(rdtype)
@@ -203,29 +219,38 @@ def make_grid_step_fn(cfg: StepConfig):
                     fixed_iters=cfg.screening_cg_iters)
                 J_site = gs.edge_quantity_to_sites(sten, J_s_u + J_n_u)
                 Jw = J_site * screening_weights[..., None].astype(rdtype)
-                far = 1e6 * (1.0 - sten.valid.astype(rdtype))
-                sites_xy = jnp.stack(
-                    [sten.site_x.astype(rdtype) + far,
-                     sten.site_y.astype(rdtype) + far], axis=-1,
-                ).reshape(-1, 2)
-                ec_xy = jnp.stack(
-                    [sten.ec_x.astype(rdtype),
-                     sten.ec_y.astype(rdtype)], axis=-1,
-                ).reshape(-1, 2)
-                if cfg.screening_use_pallas:
-                    from ..ops.pallas_screening import (
-                        induced_vector_potential_pallas,
+                if cfg.screening_use_fft:
+                    from ..ops.fft_screening import (
+                        induced_vector_potential_fft,
                     )
 
-                    A_flat = induced_vector_potential_pallas(
-                        ec_xy, sites_xy, Jw.reshape(-1, 2)
-                    ).astype(rdtype)
-                else:
-                    A_flat = induced_vector_potential(
-                        ec_xy, sites_xy, Jw.reshape(-1, 2)
+                    A_new = induced_vector_potential_fft(
+                        fft_data, sten, Jw
                     )
-                A_new = (A_flat.reshape(A_ind.shape)
-                         * edge_valid[..., None])
+                else:
+                    far = 1e6 * (1.0 - sten.valid.astype(rdtype))
+                    sites_xy = jnp.stack(
+                        [sten.site_x.astype(rdtype) + far,
+                         sten.site_y.astype(rdtype) + far], axis=-1,
+                    ).reshape(-1, 2)
+                    ec_xy = jnp.stack(
+                        [sten.ec_x.astype(rdtype),
+                         sten.ec_y.astype(rdtype)], axis=-1,
+                    ).reshape(-1, 2)
+                    if cfg.screening_use_pallas:
+                        from ..ops.pallas_screening import (
+                            induced_vector_potential_pallas,
+                        )
+
+                        A_flat = induced_vector_potential_pallas(
+                            ec_xy, sites_xy, Jw.reshape(-1, 2)
+                        ).astype(rdtype)
+                    else:
+                        A_flat = induced_vector_potential(
+                            ec_xy, sites_xy, Jw.reshape(-1, 2)
+                        )
+                    A_new = (A_flat.reshape(A_ind.shape)
+                             * edge_valid[..., None])
                 dA = A_new - A_ind
                 velocity_u = ((1.0 - cfg.screening_step_drag) * velocity
                               + cfg.screening_step_size * dA)
@@ -282,7 +307,7 @@ def make_grid_step_fn(cfg: StepConfig):
              cg_res) = tdgl_update(
                 state.psi_r, state.psi_i, state.mu, state.A_induced, dt0
             )
-            if cfg.poisson_fixed_iters is not None:
+            if cfg.poisson_fixed_iters is not None or cfg.poisson_use_mg:
                 res_allowed = max(cfg.poisson_tolerance,
                                   50.0 * float(jnp.finfo(rdtype).eps))
                 fail = jnp.logical_or(fail, cg_res > res_allowed)

@@ -118,10 +118,13 @@ class SolverOptions:
     # on a real mesh), making screening_tolerance=1e-6 usable at float32.
     # "auto" = per_edge at float64, global at float32.
     screening_error_norm: str = "auto"
-    # Which induced-vector-potential kernel to use: "xla" (blocked
-    # rsqrt+matmul, ops/screening.py) or "pallas" (fused VMEM-accumulator
-    # kernel, ops/pallas_screening.py; float32 only).
-    screening_kernel: str = "xla"
+    # Which induced-vector-potential kernel to use:
+    #   "auto"   — "fft" on structured meshes, "xla" otherwise (default);
+    #   "fft"    — exact O(N log N) lattice convolution
+    #              (ops/fft_screening.py; structured meshes only);
+    #   "xla"    — blocked O(E x S) rsqrt+matmul (ops/screening.py);
+    #   "pallas" — fused pairwise kernel (ops/pallas_screening.py; f32).
+    screening_kernel: str = "auto"
     # CG iterations per mu solve inside the screening fixed point. A fixed
     # count (rather than tolerance-stopped CG) makes each solve a smooth map,
     # which the Polyak iteration needs to converge below the CG tolerance;
@@ -145,6 +148,11 @@ class SolverOptions:
     # fixed count typically tracks the tolerance-stopped solution closely.
     # The final residual still feeds the solver's failure flag.
     poisson_fixed_iterations: Optional[int] = None
+    # mu-solve algorithm on the stencil backend: "cg" (tolerance-stopped
+    # MG-preconditioned CG, the default) or "mg" (tolerance-stopped
+    # multigrid-Richardson — cheaper per iteration, no CG acceleration;
+    # the per-step residual check fails the run if tolerance is missed).
+    poisson_solver: str = "cg"
     poisson_preconditioner: str = "amg"   # "amg" (two-level) or "jacobi"
     amg_coarsening: Optional[int] = None  # aggregate size (None = auto)
     steps_per_chunk: Optional[int] = None
@@ -194,14 +202,24 @@ class SolverOptions:
                 "screening_error_norm must be 'auto', 'per_edge', or"
                 f" 'global' (got {self.screening_error_norm})."
             )
-        if self.screening_kernel not in ("xla", "pallas"):
+        if self.screening_kernel not in ("auto", "fft", "xla", "pallas"):
             raise SolverOptionsError(
-                "screening_kernel must be 'xla' or 'pallas'"
-                f" (got {self.screening_kernel})."
+                "screening_kernel must be 'auto', 'fft', 'xla', or"
+                f" 'pallas' (got {self.screening_kernel})."
             )
         if self.screening_kernel == "pallas" and self.dtype != "float32":
             raise SolverOptionsError(
                 "screening_kernel='pallas' requires dtype='float32'."
+            )
+        if self.poisson_solver not in ("cg", "mg"):
+            raise SolverOptionsError(
+                f"poisson_solver must be 'cg' or 'mg' (got"
+                f" {self.poisson_solver})."
+            )
+        if self.poisson_solver == "mg" and \
+                self.poisson_preconditioner != "amg":
+            raise SolverOptionsError(
+                "poisson_solver='mg' requires poisson_preconditioner='amg'."
             )
         if self.poisson_preconditioner not in ("amg", "jacobi"):
             raise SolverOptionsError(

@@ -329,6 +329,15 @@ class TDGLSolver:
             )
 
         # --- screening weights ------------------------------------------------
+        screening_kernel = options.screening_kernel
+        if screening_kernel == "auto":
+            screening_kernel = "fft" if self.structured else "xla"
+        if screening_kernel == "fft" and not self.structured:
+            raise ValueError(
+                "screening_kernel='fft' requires a structured mesh"
+                " (Device.make_mesh(structured=True))."
+            )
+        self._screening_kernel = screening_kernel
         if options.include_screening:
             # weight_s = [mu_0/(4 pi) K0/A0] * xi * a_s (dimensionless a, r).
             A_scale_scr = (
@@ -338,8 +347,20 @@ class TDGLSolver:
         else:
             weights = np.zeros(len(mesh.sites))
         if self.structured:
-            weights = self.maps.site_to_grid(weights.astype(self.rdtype))
-        self._screening_weights = jnp.asarray(weights, dtype=self.rdtype)
+            weights = jnp.asarray(
+                self.maps.site_to_grid(weights.astype(self.rdtype))
+            )
+            fft_data = None
+            if options.include_screening and screening_kernel == "fft":
+                from ..ops.fft_screening import build_fft_screening
+
+                fft_data = build_fft_screening(
+                    host_sten, self.maps, mesh.grid, dtype=self.rdtype
+                )
+            self._screening_weights = (weights, fft_data)
+        else:
+            self._screening_weights = jnp.asarray(weights,
+                                                  dtype=self.rdtype)
 
         # --- initial state -----------------------------------------------------
         n_sites = len(mesh.sites)
@@ -468,7 +489,8 @@ class TDGLSolver:
             ),
             include_screening=bool(options.include_screening),
             screening_global_error_norm=screening_global_norm,
-            screening_use_pallas=(options.screening_kernel == "pallas"),
+            screening_use_pallas=(self._screening_kernel == "pallas"),
+            screening_use_fft=(self._screening_kernel == "fft"),
             screening_cg_iters=int(options.screening_cg_iterations),
             screening_tolerance=screening_tol,
             screening_step_size=float(options.screening_step_size),
@@ -480,6 +502,8 @@ class TDGLSolver:
                 int(options.poisson_fixed_iterations)
                 if options.poisson_fixed_iterations is not None else None
             ),
+            poisson_use_mg=(options.poisson_solver == "mg"
+                            and self.structured),
             # On the stencil backend probes are flat padded-grid indices.
             probe_ix=(
                 tuple(int(self.maps.site_flat[p]) for p in self.probe_points)

@@ -150,11 +150,15 @@ class StepConfig:
     screening_global_error_norm: bool = False
     # Fused Pallas induced-A kernel instead of the XLA blocked kernel.
     screening_use_pallas: bool = False
+    # Exact FFT-convolution induced-A kernel (structured backend only).
+    screening_use_fft: bool = False
     # CG iterations per mu solve inside the screening fixed point (fixed
     # count -> smooth map; see ``observables``).
     screening_cg_iters: int = 32
     # Fixed CG iteration count for every mu solve (None = tolerance-stopped).
     poisson_fixed_iters: Optional[int] = None
+    # Stencil backend: fixed multigrid-Richardson cycles instead of CG.
+    poisson_use_mg: bool = False
 
 
 def make_step_fn(cfg: StepConfig):
