@@ -34,11 +34,15 @@ import numpy as np
 class FFTScreeningData(NamedTuple):
     """Precomputed convolution kernels (a pytree).
 
-    ``Ghat``: ``(3, 2*Rp, Cp + 1) complex64`` — rfft2 of the per-edge-class
-    ``1/dist`` kernels on the zero-padding-doubled grid.
+    The rfft2 spectra of the per-edge-class ``1/dist`` kernels on the
+    zero-padding-doubled grid, stored as **separate real/imaginary arrays**
+    (``(3, 2*Rp, Cp + 1)`` each): the TPU runtime used here faults on
+    complex-typed elementwise multiplies, so the spectrum product runs in
+    split-complex arithmetic.
     """
 
-    Ghat: jax.Array
+    Ghat_re: jax.Array
+    Ghat_im: jax.Array
 
 
 def build_fft_screening(sten, maps, grid, dtype=np.float32
@@ -66,7 +70,6 @@ def build_fft_screening(sten, maps, grid, dtype=np.float32
     dy = DR * (np.sqrt(3) / 2) * h
     dirs = np.asarray(sten.edge_dirs, np.float64)  # (3, 2), length h
     rdt = np.float64 if dtype == np.float64 else np.float32
-    cdt = np.complex128 if dtype == np.float64 else np.complex64
     G = np.empty((3, R2, C2), rdt)
     for k in range(3):
         # A[e] = sum_s G[e - s] Jw[s] with
@@ -75,8 +78,11 @@ def build_fft_screening(sten, maps, grid, dtype=np.float32
         dist = np.sqrt((ox + dx) ** 2 + (oy + dy) ** 2)
         # Never singular: edge centers are never lattice points.
         G[k] = (1.0 / dist).astype(rdt)
-    Ghat = np.fft.rfft2(G, axes=(1, 2)).astype(cdt)
-    return FFTScreeningData(Ghat=jnp.asarray(Ghat))
+    Ghat = np.fft.rfft2(G, axes=(1, 2))
+    return FFTScreeningData(
+        Ghat_re=jnp.asarray(Ghat.real.astype(rdt)),
+        Ghat_im=jnp.asarray(Ghat.imag.astype(rdt)),
+    )
 
 
 def induced_vector_potential_fft(
@@ -97,10 +103,15 @@ def induced_vector_potential_fft(
     rdtype = J_weighted.dtype
     Rp, Cp = J_weighted.shape[:2]
     # A_k[e] = sum_s G_k[e - s] Jw[s] per cartesian component: zero-pad Jw,
-    # multiply spectra, inverse-transform, take the unaliased quadrant.
+    # multiply spectra (split-complex — see FFTScreeningData), transform
+    # back, take the unaliased quadrant.
     Jw = jnp.pad(J_weighted, ((0, Rp), (0, Cp), (0, 0)))
     Jhat = jnp.fft.rfft2(Jw, axes=(0, 1))          # (2Rp, Cp+1, 2)
-    prod = fft_data.Ghat[:, :, :, None] * Jhat[None]
+    jr = Jhat.real[None]
+    ji = Jhat.imag[None]
+    gr = fft_data.Ghat_re[:, :, :, None].astype(jr.dtype)
+    gi = fft_data.Ghat_im[:, :, :, None].astype(jr.dtype)
+    prod = jax.lax.complex(gr * jr - gi * ji, gr * ji + gi * jr)
     A = jnp.fft.irfft2(prod, s=(2 * Rp, 2 * Cp), axes=(1, 2))
     A = A[:, :Rp, :Cp, :]
     return (A * sten.edge_valid[..., None].astype(A.dtype)).astype(rdtype)

@@ -318,3 +318,56 @@ def test_structured_screened_solve():
     # Diamagnetic: the induced moment opposes the applied field.
     m = sol.magnetic_moment().magnitude
     assert m < 0
+
+
+def test_backend_screened_trajectory_parity():
+    """Screened dynamics match between backends on the same structured mesh
+    (fixed dt, float64): the ELL path sums the O(E x S) pairwise kernel,
+    the stencil path evaluates the exact FFT convolution — same physics,
+    same trajectory."""
+    import tdgl_tpu as tdgl
+
+    xi = 0.2
+    layer = tdgl.Layer(coherence_length=xi, london_lambda=0.15,
+                       thickness=0.05)
+    film = tdgl.Polygon("film", points=box(1, 0.6, points=101))
+    device = tdgl.Device("spar", layer=layer, film=film, length_units="um")
+    device.make_mesh(max_edge_length=xi / 1.2, structured=True)
+
+    def run(backend):
+        from tdgl_tpu.solver.solver import TDGLSolver
+        from tdgl_tpu.utils.jaxio import tree_to_numpy
+
+        options = tdgl.SolverOptions(
+            solve_time=1e9,
+            dt_init=5e-4,
+            adaptive=False,
+            save_every=100,
+            dtype="float64",
+            solver_backend=backend,
+            field_units="mT",
+            current_units="uA",
+            include_screening=True,
+            screening_tolerance=1e-7,
+            poisson_tolerance=1e-11,
+        )
+        solver = TDGLSolver(device, options, applied_vector_potential=0.05)
+        state = solver._initial_state()
+        for _ in range(2):
+            state, outputs, exported = solver.chunk_fn(state)
+        data = solver._state_to_arrays(tree_to_numpy(exported))
+        diag = tree_to_numpy(exported)["diagnostics"]
+        assert not bool(diag[5]), f"{backend} screened solver failed"
+        return data
+
+    a = run("ell")
+    b = run("stencil")
+    scale = np.abs(a["psi"]).max()
+    assert np.abs(a["psi"] - b["psi"]).max() / scale < 1e-6
+    A_scale = np.linalg.norm(a["induced_vector_potential"], axis=1).max()
+    assert A_scale > 0
+    dA = np.linalg.norm(
+        a["induced_vector_potential"] - b["induced_vector_potential"],
+        axis=1,
+    ).max()
+    assert dA / A_scale < 1e-5
