@@ -204,9 +204,19 @@ def make_grid_step_fn(cfg: StepConfig):
 
             def s_cond(carry):
                 (s, err, *_rest) = carry
+                # The chunk driver freezes finished/failed runs with an
+                # elementwise select AFTER the step executes, so the step
+                # body still runs on stale state. Gating the fixed point on
+                # `state.done` keeps those ghost steps O(1): otherwise a
+                # failed run spins max_iterations_per_step screening
+                # iterations on every remaining step of the chunk (enough
+                # device time to trip the runtime's execution kill).
                 return jnp.logical_and(
-                    err >= cfg.screening_tolerance,
-                    s <= cfg.max_iterations_per_step,
+                    jnp.logical_not(state.done),
+                    jnp.logical_and(
+                        err >= cfg.screening_tolerance,
+                        s <= cfg.max_iterations_per_step,
+                    ),
                 )
 
             def s_body(carry):
@@ -420,23 +430,36 @@ def make_grid_chunk_fn(cfg: StepConfig, chunk_size: int):
                 **{k: v for k, v in carry.items()}
             )
 
+        def zero_outputs():
+            z = np.zeros((), rdtype)
+            return StepOutputs(
+                dt=z, time=z,
+                mu_probe=np.zeros(n_probe, rdtype),
+                theta_probe=np.zeros(n_probe, rdtype),
+                screening_iterations=np.int32(0),
+                cg_iterations=np.int32(0),
+                valid=np.int32(0),
+            )
+
         def scan_body(carry, _):
-            frozen = carry["done"]
-            st = state_of(carry)
-            new_st, outputs = step_fn(sten, screening_weights, amg, st,
-                                      static_link)
-            new_carry = carry_of(new_st)
-            # Elementwise freeze: steps after `done` leave the state
-            # unchanged and emit valid=0 outputs (static shapes, no cond).
-            new_carry = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(frozen, old, new),
-                carry, new_carry,
-            )
-            outputs = outputs._replace(
-                valid=jnp.where(frozen, np.int32(0), np.int32(1)),
-                dt=jnp.where(frozen, np.zeros((), rdtype), outputs.dt),
-            )
-            return new_carry, outputs
+            # `done` gating via lax.cond on the LEAN carry (psi/mu/scalars):
+            # a finished or failed run must cost nothing for the rest of the
+            # chunk — its stale state can make the inner solver loops spin
+            # to their iteration caps (a failed screened run would burn
+            # max_iterations_per_step screening iterations per ghost step,
+            # enough device time to trip the runtime's execution kill). The
+            # both-branch copies a cond materializes are cheap at this
+            # carry size (the original full-state carry made them 3x the
+            # step cost, which is why the step itself stays select-free).
+            def frozen_fn(c):
+                return c, zero_outputs()
+
+            def live_fn(c):
+                new_st, outputs = step_fn(sten, screening_weights, amg,
+                                          state_of(c), static_link)
+                return carry_of(new_st), outputs
+
+            return jax.lax.cond(carry["done"], frozen_fn, live_fn, carry)
 
         final_carry, outputs = jax.lax.scan(scan_body, carry_of(state),
                                             xs=None, length=chunk_size)
