@@ -201,6 +201,15 @@ def make_grid_step_fn(cfg: StepConfig):
 
         if cfg.include_screening:
             big = np.asarray(1e30, rdtype)
+            # Denominator floor for the globally-normalized convergence
+            # criterion: during the startup transient the induced potential
+            # is orders of magnitude below the applied one, and a purely
+            # relative criterion divides iteration noise by ~zero — the
+            # fixed point then can never "converge" even though the induced
+            # field is dynamically irrelevant. Anything below
+            # 1e-2 |A_applied| max contributes negligibly to the link
+            # phases, so that's the scale floor.
+            app_scale = jnp.max(jnp.linalg.norm(A_applied, axis=-1))
 
             def s_cond(carry):
                 (s, err, *_rest) = carry
@@ -268,8 +277,11 @@ def make_grid_step_fn(cfg: StepConfig):
                 dA_norm = jnp.linalg.norm(dA, axis=-1)
                 A_norm = jnp.linalg.norm(A_ind_u, axis=-1)
                 if cfg.screening_global_error_norm:
-                    err_u = jnp.max(dA_norm) / jnp.maximum(jnp.max(A_norm),
-                                                           1e-20)
+                    denom = jnp.maximum(
+                        jnp.max(A_norm),
+                        jnp.maximum(0.01 * app_scale, 1e-20),
+                    )
+                    err_u = jnp.max(dA_norm) / denom
                 else:
                     # Per-edge ratio over REAL edges only (masked entries
                     # would contribute 0/1e-20 = 0, which is fine, but the
@@ -308,8 +320,11 @@ def make_grid_step_fn(cfg: StepConfig):
              J_n, fail, cg_iters, cg_res) = jax.lax.while_loop(
                 s_cond, s_body, init)
             fail = jnp.logical_or(fail, err >= cfg.screening_tolerance)
+            # 2x the CG precision floor: the gate flags gross failure,
+            # not precision-edge flutter (tolerance-stopped CG itself clamps
+            # at 50 eps, so a healthy solve can sit right at that floor).
             res_allowed = max(cfg.poisson_tolerance,
-                              50.0 * float(jnp.finfo(rdtype).eps))
+                              100.0 * float(jnp.finfo(rdtype).eps))
             fail = jnp.logical_or(fail, cg_res > res_allowed)
             screening_iters = s
         else:
@@ -319,7 +334,7 @@ def make_grid_step_fn(cfg: StepConfig):
             )
             if cfg.poisson_fixed_iters is not None or cfg.poisson_use_mg:
                 res_allowed = max(cfg.poisson_tolerance,
-                                  50.0 * float(jnp.finfo(rdtype).eps))
+                                  100.0 * float(jnp.finfo(rdtype).eps))
                 fail = jnp.logical_or(fail, cg_res > res_allowed)
             A_induced = state.A_induced
             screening_iters = np.int32(0)
