@@ -127,9 +127,16 @@ class SolverOptions:
     screening_kernel: str = "auto"
     # CG iterations per mu solve inside the screening fixed point. A fixed
     # count (rather than tolerance-stopped CG) makes each solve a smooth map,
-    # which the Polyak iteration needs to converge below the CG tolerance;
-    # warm starts accumulate convergence across screening iterations.
+    # which the fixed-point iteration needs to converge below the CG
+    # tolerance; warm starts accumulate convergence across iterations.
     screening_cg_iterations: int = 32
+    # Fixed-point accelerator for the screening iteration: "anderson"
+    # (depth-1 Anderson/secant acceleration — converges in ~10-15 iterations
+    # where the reference's fixed-coefficient Polyak scheme crawls at
+    # contraction ~0.99 and hits its iteration cap on strongly-coupled
+    # geometries) or "polyak" (the reference's heavy-ball scheme,
+    # ``tdgl/solver/solver.py:565-569``).
+    screening_solver: str = "anderson"
     # Precision floor for the *effective* screening tolerance (None = auto,
     # 0 disables). At float32 the coupled psi/mu/A map has an irreducible
     # noise ball: psi rounding (~1.2e-7 relative) is amplified by the
@@ -196,6 +203,11 @@ class SolverOptions:
             raise SolverOptionsError(
                 "solver_backend must be 'auto', 'stencil', or 'ell'"
                 f" (got {self.solver_backend})."
+            )
+        if self.screening_solver not in ("anderson", "polyak"):
+            raise SolverOptionsError(
+                "screening_solver must be 'anderson' or 'polyak'"
+                f" (got {self.screening_solver})."
             )
         if self.screening_error_norm not in ("auto", "per_edge", "global"):
             raise SolverOptionsError(

@@ -491,6 +491,7 @@ class TDGLSolver:
             screening_global_error_norm=screening_global_norm,
             screening_use_pallas=(self._screening_kernel == "pallas"),
             screening_use_fft=(self._screening_kernel == "fft"),
+            screening_anderson=(options.screening_solver == "anderson"),
             screening_cg_iters=int(options.screening_cg_iterations),
             screening_tolerance=screening_tol,
             screening_step_size=float(options.screening_step_size),

@@ -159,6 +159,9 @@ class StepConfig:
     poisson_fixed_iters: Optional[int] = None
     # Stencil backend: fixed multigrid-Richardson cycles instead of CG.
     poisson_use_mg: bool = False
+    # Anderson(1) acceleration for the screening fixed point (False =
+    # reference-style Polyak heavy ball).
+    screening_anderson: bool = True
 
 
 def make_step_fn(cfg: StepConfig):
@@ -291,8 +294,8 @@ def make_step_fn(cfg: StepConfig):
                 )
 
             def s_body(carry):
-                (s, err, dt, A_ind, velocity, psi_n, sq_n, mu_n, J_s, J_n,
-                 fail, cg_iters, cg_res) = carry
+                (s, err, dt, A_ind, velocity, x_prev, psi_n, sq_n, mu_n,
+                 J_s, J_n, fail, cg_iters, cg_res) = carry
                 # Gate on convergence for vmap-safety (see euler retries).
                 converged = err < cfg.screening_tolerance
                 (psi_u, sq_u, mu_u, J_s_u, J_n_u, dt_u, fail_i,
@@ -317,9 +320,25 @@ def make_step_fn(cfg: StepConfig):
                         op.sites.astype(rdtype), Jw,
                     )
                 dA = A_new - A_ind
-                velocity_u = ((1.0 - cfg.screening_step_drag) * velocity
-                              + cfg.screening_step_size * dA)
-                A_ind_u = A_ind + velocity_u
+                if cfg.screening_anderson:
+                    # Depth-1 Anderson acceleration (see grid_step).
+                    dr = dA - velocity
+                    denom = jnp.maximum(jnp.sum(dr * dr),
+                                        jnp.finfo(rdtype).tiny)
+                    theta = jnp.clip(jnp.sum(dA * dr) / denom, -10.0, 10.0)
+                    anderson = ((1.0 - theta) * A_new
+                                + theta * (x_prev + velocity))
+                    A_ind_u = jnp.where(
+                        s == 0, A_ind + cfg.screening_step_size * dA,
+                        anderson,
+                    )
+                    velocity_u = dA
+                    x_prev_u = A_ind
+                else:
+                    velocity_u = ((1.0 - cfg.screening_step_drag) * velocity
+                                  + cfg.screening_step_size * dA)
+                    A_ind_u = A_ind + velocity_u
+                    x_prev_u = x_prev
                 dA_norm = jnp.linalg.norm(dA, axis=1)
                 A_norm = jnp.linalg.norm(A_ind_u, axis=1)
                 if cfg.screening_global_error_norm:
@@ -344,6 +363,7 @@ def make_step_fn(cfg: StepConfig):
                     keep(dt, dt_u),
                     keep(A_ind, A_ind_u),
                     keep(velocity, velocity_u),
+                    keep(x_prev, x_prev_u),
                     keep(psi_n, psi_u),
                     keep(sq_n, sq_u),
                     keep(mu_n, mu_u),
@@ -358,12 +378,13 @@ def make_step_fn(cfg: StepConfig):
             zeros_e = jnp.zeros(op.edges.shape[0], rdtype)
             init = (
                 np.int32(0), big, dt0, state.A_induced,
-                jnp.zeros_like(state.A_induced), state.psi, old_sq, state.mu,
+                jnp.zeros_like(state.A_induced), state.A_induced,
+                state.psi, old_sq, state.mu,
                 zeros_e, zeros_e, np.bool_(False), np.int32(0), big,
             )
-            (s, err, dt_used, A_induced, _vel, psi_n, sq_n, mu_n, J_s, J_n,
-             fail, cg_iters, cg_res) = jax.lax.while_loop(s_cond, s_body,
-                                                          init)
+            (s, err, dt_used, A_induced, _vel, _xp, psi_n, sq_n, mu_n, J_s,
+             J_n, fail, cg_iters, cg_res) = jax.lax.while_loop(s_cond,
+                                                               s_body, init)
             fail = jnp.logical_or(fail, err >= cfg.screening_tolerance)
             # The fixed-iteration CG solves have no internal stopping test;
             # verify the final solve actually met the (precision-floored)
