@@ -23,7 +23,9 @@ def main():
         "vortex_demo", layer=layer, film=film, holes=[hole],
         probe_points=[(-4, 0), (4, 0)], length_units="um",
     )
-    device.make_mesh(min_points=4000, smooth=50)
+    # structured=True -> the gather-free stencil solver backend (the fast
+    # TPU path); drop it for a boundary-conforming unstructured mesh.
+    device.make_mesh(min_points=4000, structured=True)
 
     options = tdgl.SolverOptions(
         solve_time=20,

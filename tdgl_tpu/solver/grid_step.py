@@ -132,10 +132,14 @@ def make_grid_step_fn(cfg: StepConfig):
         if cfg.poisson_use_mg:
             from ..ops.cg import mg_richardson_grid
 
+            # Cap the cycle count well below the CG cap: a stalled
+            # Richardson iteration (its f32 floor sits above CG's) must
+            # fail fast via the residual gate, not spin long enough for
+            # the runtime to kill the program.
             cg = mg_richardson_grid(
                 sten, rhs, mu_guess, amg,
                 tol=cfg.poisson_tolerance,
-                maxiter=cfg.poisson_max_iterations,
+                maxiter=min(50, cfg.poisson_max_iterations),
                 amg_omega=cfg.amg_omega,
             )
         else:
@@ -467,36 +471,31 @@ def make_grid_chunk_fn(cfg: StepConfig, chunk_size: int):
                 **{k: v for k, v in carry.items()}
             )
 
-        def zero_outputs():
-            z = np.zeros((), rdtype)
-            return StepOutputs(
-                dt=z, time=z,
-                mu_probe=np.zeros(n_probe, rdtype),
-                theta_probe=np.zeros(n_probe, rdtype),
-                screening_iterations=np.int32(0),
-                cg_iterations=np.int32(0),
-                valid=np.int32(0),
-            )
-
         def scan_body(carry, _):
-            # `done` gating via lax.cond on the LEAN carry (psi/mu/scalars):
-            # a finished or failed run must cost nothing for the rest of the
-            # chunk — its stale state can make the inner solver loops spin
-            # to their iteration caps (a failed screened run would burn
-            # max_iterations_per_step screening iterations per ghost step,
-            # enough device time to trip the runtime's execution kill). The
-            # both-branch copies a cond materializes are cheap at this
-            # carry size (the original full-state carry made them 3x the
-            # step cost, which is why the step itself stays select-free).
-            def frozen_fn(c):
-                return c, zero_outputs()
-
-            def live_fn(c):
-                new_st, outputs = step_fn(sten, screening_weights, amg,
-                                          state_of(c), static_link)
-                return carry_of(new_st), outputs
-
-            return jax.lax.cond(carry["done"], frozen_fn, live_fn, carry)
+            # Ghost ("post-done") steps still execute the step body on
+            # stale state and get discarded by an elementwise select — NOT
+            # a lax.cond: wrapping the step in a conditional breaks XLA's
+            # fusion/pipelining across the scan body (measured: -40%
+            # throughput at the 50k benchmark). Ghost steps are cheap
+            # because (a) the screening while_loop's condition tests
+            # state.done — the one loop whose ghost iterations could
+            # otherwise accumulate enough device time to trip the runtime's
+            # execution kill — and (b) the warm-started CG on an unchanged
+            # stale system converges immediately.
+            frozen = carry["done"]
+            st = state_of(carry)
+            new_st, outputs = step_fn(sten, screening_weights, amg, st,
+                                      static_link)
+            new_carry = carry_of(new_st)
+            new_carry = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(frozen, old, new),
+                carry, new_carry,
+            )
+            outputs = outputs._replace(
+                valid=jnp.where(frozen, np.int32(0), np.int32(1)),
+                dt=jnp.where(frozen, np.zeros((), rdtype), outputs.dt),
+            )
+            return new_carry, outputs
 
         final_carry, outputs = jax.lax.scan(scan_body, carry_of(state),
                                             xs=None, length=chunk_size)

@@ -128,8 +128,12 @@ class SolverOptions:
     # CG iterations per mu solve inside the screening fixed point. A fixed
     # count (rather than tolerance-stopped CG) makes each solve a smooth map,
     # which the fixed-point iteration needs to converge below the CG
-    # tolerance; warm starts accumulate convergence across iterations.
-    screening_cg_iterations: int = 32
+    # tolerance; warm starts accumulate convergence across iterations, and
+    # the final solve's residual feeds the failure flag, so too small a
+    # count fails loudly rather than corrupting results. None = auto:
+    # 8 on the stencil backend (deep-MG preconditioner converges in ~3),
+    # 32 on the ELL backend (weaker preconditioner).
+    screening_cg_iterations: Optional[int] = None
     # Fixed-point accelerator for the screening iteration: "anderson"
     # (depth-1 Anderson/secant acceleration — converges in ~10-15 iterations
     # where the reference's fixed-coefficient Polyak scheme crawls at

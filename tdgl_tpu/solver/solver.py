@@ -492,7 +492,11 @@ class TDGLSolver:
             screening_use_pallas=(self._screening_kernel == "pallas"),
             screening_use_fft=(self._screening_kernel == "fft"),
             screening_anderson=(options.screening_solver == "anderson"),
-            screening_cg_iters=int(options.screening_cg_iterations),
+            screening_cg_iters=(
+                int(options.screening_cg_iterations)
+                if options.screening_cg_iterations is not None
+                else (8 if self.structured else 32)
+            ),
             screening_tolerance=screening_tol,
             screening_step_size=float(options.screening_step_size),
             screening_step_drag=float(options.screening_step_drag),

@@ -350,6 +350,10 @@ def test_backend_screened_trajectory_parity():
             include_screening=True,
             screening_tolerance=1e-7,
             poisson_tolerance=1e-11,
+            # Deep fixed inner solves: the two backends use different
+            # preconditioners, so a small fixed count leaves
+            # backend-dependent residuals that mask discretization parity.
+            screening_cg_iterations=40,
         )
         solver = TDGLSolver(device, options, applied_vector_potential=0.05)
         state = solver._initial_state()
