@@ -20,7 +20,7 @@ import json
 import sys
 import time
 
-CHUNK = 2000  # steps fused per dispatch (amortizes ~35 ms tunnel overhead)
+CHUNK = 4000  # steps fused per dispatch (amortizes ~35 ms tunnel overhead)
 
 
 def build_device(target_sites: int = 50_000):
