@@ -398,6 +398,18 @@ class Device:
         if max_edge_length is None:
             max_edge_length = 1.0 * self.layer.coherence_length
         if structured:
+            if mesh_kwargs:
+                raise ValueError(
+                    "make_mesh(structured=True) accepts only"
+                    " max_edge_length and min_points; unstructured-mesher"
+                    f" options {sorted(mesh_kwargs)} are not applicable to"
+                    " the lattice mesher."
+                )
+            if smooth:
+                raise ValueError(
+                    "make_mesh(structured=True) does not support `smooth`:"
+                    " a structured lattice must stay exact."
+                )
             from .hexmesh import generate_structured_mesh
 
             points, triangles, grid = generate_structured_mesh(

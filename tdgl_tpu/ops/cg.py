@@ -226,6 +226,7 @@ def mg_richardson_grid(
     tol: float = 1e-6,
     maxiter: int = 50,
     amg_omega: float = 0.9,
+    fixed_iters: Optional[int] = None,
 ) -> CGResult:
     """Multigrid-Richardson mu solve (stencil backend).
 
@@ -236,6 +237,13 @@ def mg_richardson_grid(
     residual-norm reduction remains for the stopping test). Whether it wins
     depends on the V-cycle's contraction factor vs CG's acceleration —
     exposed as ``SolverOptions.poisson_solver`` for measurement.
+
+    With ``fixed_iters`` set, exactly that many cycles run in a
+    ``lax.fori_loop`` with **no** stopping test and no reductions inside the
+    loop — the cheapest-per-iteration solve on TPU, and (like
+    :func:`cg_solve_fixed`) a smooth map of its inputs, which the screening
+    fixed point requires. The final residual norm is still computed once for
+    the caller's failure gate.
     """
     from ..models.gtdgl_stencil import scalar_laplacian_sym
     from .hexmg import make_hexmg_apply
@@ -254,10 +262,22 @@ def mg_richardson_grid(
     b = project(-(sten.area.astype(rdtype) * rhs))
     x0 = project(mu_prev)
     b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    r0 = b - apply_A(x0)
+
+    if fixed_iters is not None:
+        def fbody(_, carry):
+            x, r = carry
+            x = x + apply_mg(amg, r)
+            r = b - apply_A(x)
+            return (x, r)
+
+        x, r = jax.lax.fori_loop(0, fixed_iters, fbody, (x0, r0))
+        res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
+        return CGResult(project(x), jnp.int32(fixed_iters), res)
+
     eps = float(jnp.finfo(rdtype).eps)
     tol_eff = max(float(tol), 50.0 * eps)
     tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
-    r0 = b - apply_A(x0)
 
     def cond(state):
         _, r2, _, k = state

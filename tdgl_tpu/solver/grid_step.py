@@ -135,12 +135,16 @@ def make_grid_step_fn(cfg: StepConfig):
             # Cap the cycle count well below the CG cap: a stalled
             # Richardson iteration (its f32 floor sits above CG's) must
             # fail fast via the residual gate, not spin long enough for
-            # the runtime to kill the program.
+            # the runtime to kill the program. A fixed_iters request (the
+            # screening fixed point, or poisson_fixed_iterations) runs a
+            # fixed cycle count instead — the smooth, reduction-free map
+            # the fixed point needs.
             cg = mg_richardson_grid(
                 sten, rhs, mu_guess, amg,
                 tol=cfg.poisson_tolerance,
                 maxiter=min(50, cfg.poisson_max_iterations),
                 amg_omega=cfg.amg_omega,
+                fixed_iters=fixed_iters,
             )
         else:
             cg = solve_mu_poisson_grid(

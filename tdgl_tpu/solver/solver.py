@@ -32,7 +32,7 @@ from ..fv.operators import build_operators
 from ..parameter import Parameter
 from ..sources.constant import ConstantField
 from ..utils.units import ureg
-from .options import SolverOptions
+from .options import SolverOptions, SolverOptionsError
 from .runner import DataHandler, Runner
 from .step import SolverState, StepConfig, make_chunk_fn
 
@@ -277,6 +277,13 @@ class TDGLSolver:
         self.structured = (
             mesh.grid is not None and options.solver_backend != "ell"
         )
+        if options.poisson_solver == "mg" and not self.structured:
+            raise SolverOptionsError(
+                "poisson_solver='mg' requires the structured (stencil)"
+                " backend; generate a structured mesh with"
+                " device.make_mesh(structured=True) or use"
+                " poisson_solver='cg'."
+            )
 
         # --- operators -------------------------------------------------------
         terminal_psi = options.terminal_psi
@@ -495,7 +502,12 @@ class TDGLSolver:
             screening_cg_iters=(
                 int(options.screening_cg_iterations)
                 if options.screening_cg_iterations is not None
-                else (8 if self.structured else 32)
+                # MG-Richardson cycles contract faster per iteration than
+                # MG-preconditioned-CG iterations track the same warm
+                # start, so the fixed inner-solve count inside the
+                # screening loop is smaller on the 'mg' path.
+                else (4 if options.poisson_solver == "mg"
+                      else 8 if self.structured else 32)
             ),
             screening_tolerance=screening_tol,
             screening_step_size=float(options.screening_step_size),
@@ -509,6 +521,10 @@ class TDGLSolver:
             ),
             poisson_use_mg=(options.poisson_solver == "mg"
                             and self.structured),
+            # The smoother damping is tuned per preconditioner: 0.9 for the
+            # deep SA hierarchy (hexmg), 0.6 for the ELL two-level block AMG
+            # (its validated pre-round-2 value).
+            amg_omega=(0.9 if self.structured else 0.6),
             # On the stencil backend probes are flat padded-grid indices.
             probe_ix=(
                 tuple(int(self.maps.site_flat[p]) for p in self.probe_points)

@@ -87,3 +87,27 @@ def test_f64_deep_tolerance(poisson_problem):
                    precond=lambda r: apply_mg(mg, r), project_fn=project)
     assert float(res.residual_norm) < 1e-10
     assert int(res.iterations) <= 30
+
+
+def test_mg_richardson_fixed_cycles(poisson_problem):
+    """Fixed-cycle MG-Richardson (the reduction-free smooth map used inside
+    the screening fixed point and for poisson_fixed_iterations) matches the
+    tolerance-stopped solve."""
+    from tdgl_tpu.ops.cg import mg_richardson_grid
+
+    sten, mg, maps, project, b = poisson_problem
+    # mg_richardson_grid takes the raw (area-scaled) rhs convention:
+    # b = -area * rhs  =>  rhs = -b / area.
+    rhs = -jnp.asarray(b) / jnp.maximum(sten.area, 1e-30)
+    x0 = jnp.zeros(maps.shape, jnp.float32)
+    ref = mg_richardson_grid(sten, rhs, x0, mg, tol=3e-6, maxiter=50)
+    fixed = mg_richardson_grid(sten, rhs, x0, mg,
+                               fixed_iters=int(ref.iterations) + 2)
+    assert float(fixed.residual_norm) <= max(
+        3e-6, 2.0 * float(ref.residual_norm)
+    )
+    # Extra f32 cycles jitter x at the precision floor (~1e-4 of the
+    # O(10) solution scale); the solves agree to that floor.
+    np.testing.assert_allclose(
+        np.asarray(fixed.x), np.asarray(ref.x), atol=1e-3,
+    )

@@ -169,9 +169,12 @@ def test_screening_float32_converges():
     the float64 per-edge-criterion run). The per-edge error ratio of the
     reference (``solver.py:570-575``) floors at ~2e-5 in float32, so the f32
     path auto-switches to a globally-normalized criterion
-    (``SolverOptions.screening_error_norm="auto"``); the solver raises
-    RuntimeError on any non-converged step, so completion proves every step
-    met the 1e-6 tolerance."""
+    (``SolverOptions.screening_error_norm="auto"``). The requested 1e-6
+    tolerance is clamped to the float32 global-norm precision floor
+    (``screening_tolerance_floor``, 5e-4 by default), and the solver raises
+    RuntimeError on any non-converged step — so completion proves every step
+    met the *effective* (floor-clamped) tolerance, and the f64 cross-check
+    below pins the actual accuracy."""
     xi = 0.1
     layer = tdgl.Layer(
         coherence_length=xi, london_lambda=0.075, thickness=0.05

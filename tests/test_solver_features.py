@@ -198,3 +198,29 @@ def test_equal_physics_solvers_share_compiled_chunk(small_device):
     ) * tdgl.LinearRamp(tmin=0, tmax=4)
     s4 = TDGLSolver(small_device, options, applied_vector_potential=field)
     assert s4.cfg != s1.cfg
+
+
+def test_mg_poisson_solver_requires_structured_mesh(small_device):
+    """poisson_solver='mg' on an unstructured mesh raises instead of
+    silently downgrading to CG (the hex multigrid needs a lattice)."""
+    from tdgl_tpu.solver.options import SolverOptionsError
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    options = tdgl.SolverOptions(
+        solve_time=1, dt_init=1e-4, poisson_solver="mg",
+        field_units="uT", current_units="uA",
+    )
+    with pytest.raises(SolverOptionsError, match="structured"):
+        TDGLSolver(small_device, options)
+
+
+def test_structured_mesh_rejects_unstructured_kwargs():
+    """make_mesh(structured=True) rejects unstructured-mesher options
+    instead of silently discarding them."""
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2, thickness=0.1)
+    film = tdgl.Polygon("film", points=box(8)).resample(100)
+    device = tdgl.Device("film", layer=layer, film=film)
+    with pytest.raises(ValueError, match="smooth"):
+        device.make_mesh(min_points=500, structured=True, smooth=10)
+    with pytest.raises(ValueError, match="not applicable"):
+        device.make_mesh(min_points=500, structured=True, max_volume=0.1)
