@@ -17,10 +17,14 @@ healthy-vs-degraded round is machine-readable.
 """
 
 import json
+import os
 import sys
 import time
 
-CHUNK = 4000  # steps fused per dispatch (amortizes ~35 ms tunnel overhead)
+# Steps fused per dispatch (amortizes the ~35 ms tunnel overhead to ~2
+# us/step at 16k; device execution stays ~2 s/dispatch, far under the
+# runtime's long-program kill).
+CHUNK = int(os.environ.get("TDGL_BENCH_CHUNK", "16000"))
 
 
 def build_device(target_sites: int = 50_000):
@@ -68,6 +72,15 @@ def measure(target_sites: int, attempts: int):
     # A field strong enough to drive vortex entry and sustained motion, so
     # the benchmark measures live TDGL dynamics (psi update + CG Poisson
     # solve doing real work), not a frozen equilibrium.
+    solver_kwargs = {}
+    poisson = os.environ.get("TDGL_BENCH_POISSON", "")
+    if poisson == "cg_tol":
+        solver_kwargs.update(poisson_fixed_iterations=0)
+    elif poisson.startswith("cg"):
+        solver_kwargs.update(poisson_fixed_iterations=int(poisson[2:]))
+    elif poisson.startswith("mgr"):
+        solver_kwargs.update(poisson_solver="mg",
+                             poisson_fixed_iterations=int(poisson[3:]))
     options = tdgl.SolverOptions(
         solve_time=1e9,           # run by step count, not simulation time
         dt_init=1e-4,
@@ -77,6 +90,7 @@ def measure(target_sites: int, attempts: int):
         field_units="mT",
         current_units="uA",
         dtype="float32",
+        **solver_kwargs,
     )
     solver = TDGLSolver(device, options, applied_vector_potential=0.5)
     state = solver._initial_state()
@@ -118,7 +132,7 @@ def measure(target_sites: int, attempts: int):
         # The cumulative in-program step counter then proves every timed
         # step actually executed (dispatches cannot silently no-op).
         steps_before = int(tree_to_numpy(exported_dev)["diagnostics"][3])
-        n_chunks = max(4, 8000 // chunk)
+        n_chunks = max(2, 16000 // chunk)
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             state, outputs, exported_dev = chunk_fn(state)
@@ -159,6 +173,87 @@ def measure(target_sites: int, attempts: int):
     return n_sites, None, notes
 
 
+def measure_screened(target_sites: int, attempts: int):
+    """Screened throughput at the same mesh scale (the reference treats
+    screening as a first-class solve mode, ``tdgl/solver/solver.py:522-578``).
+
+    Round-2 operating point: 0.5 mT, lambda=2, screening tolerance 1e-3
+    (>= the f32 precision floor), dt_max 1e-3, FFT lattice-convolution
+    kernel, Anderson fixed point. Returns ``(n_sites, steps_per_sec or
+    None, notes)``.
+    """
+    import numpy as np
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    notes = []
+    chunk_s = min(CHUNK, 2000)  # ~2 ms/step: keep dispatches ~4 s
+    device = build_device(target_sites)
+    n_sites = len(device.mesh.sites)
+    options = tdgl.SolverOptions(
+        solve_time=1e9,
+        dt_init=1e-4,
+        dt_max=1e-3,
+        save_every=chunk_s,
+        steps_per_chunk=chunk_s,
+        field_units="mT",
+        current_units="uA",
+        dtype="float32",
+        include_screening=True,
+        screening_tolerance=1e-3,
+    )
+    solver = TDGLSolver(device, options, applied_vector_potential=0.5)
+    state = solver._initial_state()
+    chunk_fn = solver.chunk_fn
+    chunk = solver.chunk_size
+    notes.append(f"screened chunk={chunk} kernel={solver._screening_kernel}"
+                 f" inner_iters={solver.cfg.screening_cg_iters}")
+
+    import jax
+
+    from tdgl_tpu.utils.jaxio import to_numpy, tree_to_numpy
+
+    for attempt in range(attempts):
+        try:
+            for _ in range(2):
+                state, outputs, exported_dev = chunk_fn(state)
+            canary = tree_to_numpy(exported_dev)["diagnostics"]
+            assert np.isfinite(canary).all()
+            assert not bool(canary[5]), "screened solver failed in warmup"
+        except Exception as exc:
+            notes.append(f"screened attempt {attempt}:"
+                         f" unhealthy ({str(exc)[:60]})")
+            time.sleep(45 * (attempt + 1))
+            continue
+        steps_before = int(tree_to_numpy(exported_dev)["diagnostics"][3])
+        n_chunks = max(2, 4000 // chunk)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, outputs, exported_dev = chunk_fn(state)
+        try:
+            exported = tree_to_numpy(exported_dev)
+        except Exception as exc:
+            notes.append(f"screened post-run transfer failed"
+                         f" ({str(exc)[:60]})")
+            time.sleep(45 * (attempt + 1))
+            continue
+        elapsed = time.perf_counter() - t0
+        steps = n_chunks * chunk
+        diag = exported["diagnostics"]
+        assert not bool(diag[5]), "screened solver failed during bench"
+        executed = int(diag[3]) - steps_before
+        assert executed == steps, \
+            f"only {executed}/{steps} screened steps executed"
+        mean_iters = float(np.mean(to_numpy(outputs.screening_iterations)))
+        notes.append(f"mean screening iters {mean_iters:.2f}")
+        print(f"# screened: {executed} steps in {elapsed:.2f}s"
+              f" ({steps / elapsed:.0f}/s, {mean_iters:.2f} iters/step)",
+              file=sys.stderr)
+        return n_sites, steps / elapsed, notes
+    return n_sites, None, notes
+
+
 def _emit(n_sites, steps_per_sec, provenance):
     target = 1e4  # BASELINE.md north-star target
     print(json.dumps({
@@ -170,7 +265,8 @@ def _emit(n_sites, steps_per_sec, provenance):
     }), flush=True)
 
 
-def _measure_child(target_sites: int, attempts: int) -> None:
+def _measure_child(target_sites: int, attempts: int,
+                   screened: bool = False) -> None:
     """Child-process entry: measure one size, print one JSON line."""
     try:
         # The deep-multigrid chunk program takes minutes to compile; the
@@ -183,8 +279,9 @@ def _measure_child(target_sites: int, attempts: int) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass
+    fn = measure_screened if screened else measure
     try:
-        n_sites, sps, notes = measure(target_sites, attempts)
+        n_sites, sps, notes = fn(target_sites, attempts)
     except Exception as exc:
         print(f"# measurement crashed: {str(exc)[:200]}", file=sys.stderr)
         print("NOTES " + json.dumps([f"crashed: {str(exc)[:120]}"]),
@@ -195,7 +292,42 @@ def _measure_child(target_sites: int, attempts: int) -> None:
         sys.exit(4)
     _emit(n_sites, sps, provenance={
         "target_sites": target_sites, "notes": notes,
+        "screened": screened,
     })
+
+
+def _run_screened_child(target: int) -> dict:
+    """Measure the screened mode in its own subprocess; returns a dict for
+    the provenance block (BASELINE.md tracks screened steps/s alongside the
+    screening-off headline)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--measure-screened", str(target),
+             "2"],
+            capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        return {"outcome": "timeout"}
+    sys.stderr.write("\n".join(
+        ln for ln in proc.stderr.splitlines()
+        if not ln.startswith("NOTES ")
+    ) + "\n")
+    notes = []
+    for ln in proc.stderr.splitlines():
+        if ln.startswith("NOTES "):
+            notes = json.loads(ln[6:])
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            payload = json.loads(line)
+            return {
+                "outcome": "ok",
+                "value": payload["value"],
+                "unit": "steps/sec",
+                "notes": notes,
+            }
+    return {"outcome": f"rc={proc.returncode}", "notes": notes}
 
 
 def main():
@@ -237,6 +369,7 @@ def main():
                     "attempts": attempts_log,
                     "notes": notes,
                     "chunk_steps": CHUNK,
+                    "screened": _run_screened_child(target),
                 }
                 print(json.dumps(payload), flush=True)
                 return
@@ -262,5 +395,9 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
         _measure_child(int(sys.argv[2]),
                        int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--measure-screened":
+        _measure_child(int(sys.argv[2]),
+                       int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+                       screened=True)
     else:
         main()

@@ -33,7 +33,7 @@ from .solution.plot_solution import (
 from .solution.solution import BiotSavartField, BoundaryPhases, Solution
 from .solver.options import SolverOptions, SolverOptionsError, SparseSolver
 from .solver.solve import solve
-from .solver.solver import SolverResult, TDGLSolver
+from .solver.solver import SolverResult, TDGLSolver, jittable
 from .sources import ConstantField, CurrentLoop, LinearRamp, Scale
 from .utils.units import Quantity, UnitRegistry, ureg
 from .version import __git_revision__, __version__, __version_info__

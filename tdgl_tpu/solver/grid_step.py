@@ -33,6 +33,7 @@ class GridState(NamedTuple):
     psi_r: jax.Array            # (Rp, Cp)
     psi_i: jax.Array            # (Rp, Cp)
     mu: jax.Array               # (Rp, Cp)
+    mu_prev: jax.Array          # (Rp, Cp) — previous step's mu (predictor)
     supercurrent: jax.Array     # (3, Rp, Cp)
     normal_current: jax.Array   # (3, Rp, Cp)
     A_induced: jax.Array        # (3, Rp, Cp, 2)
@@ -189,7 +190,8 @@ def make_grid_step_fn(cfg: StepConfig):
         old_sq = state.psi_r**2 + state.psi_i**2
         dt0 = state.tentative_dt
 
-        def tdgl_update(pr, pi, mu_in, A_induced, dt, fixed_iters=None):
+        def tdgl_update(pr, pi, mu_in, A_induced, dt, fixed_iters=None,
+                        solve_guess=None):
             if static_link is not None:
                 # Hoisted out of the scan by the chunk driver (static A).
                 U = static_link
@@ -201,7 +203,8 @@ def make_grid_step_fn(cfg: StepConfig):
                 sten, rdtype, U, pr, pi, old_sq, mu_in, epsilon, dt
             )
             J_s, mu_n, J_n, cg_iters, cg_res = observables(
-                sten, amg, U, pr_n, pi_n, dA_dt, neumann_term, mu_in,
+                sten, amg, U, pr_n, pi_n, dA_dt, neumann_term,
+                mu_in if solve_guess is None else solve_guess,
                 fixed_iters=fixed_iters,
             )
             return (pr_n, pi_n, sq_n, mu_n, J_s, J_n, dt_used, fail,
@@ -358,9 +361,12 @@ def make_grid_step_fn(cfg: StepConfig):
             fail = jnp.logical_or(fail, cg_res > res_allowed)
             screening_iters = s
         else:
+            guess = (2.0 * state.mu - state.mu_prev
+                     if cfg.poisson_predictor else None)
             (pr_n, pi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters,
              cg_res) = tdgl_update(
-                state.psi_r, state.psi_i, state.mu, state.A_induced, dt0
+                state.psi_r, state.psi_i, state.mu, state.A_induced, dt0,
+                solve_guess=guess,
             )
             if cfg.poisson_fixed_iters is not None or cfg.poisson_use_mg:
                 res_allowed = max(cfg.poisson_tolerance,
@@ -389,6 +395,7 @@ def make_grid_step_fn(cfg: StepConfig):
             psi_r=pr_n,
             psi_i=pi_n,
             mu=mu_n,
+            mu_prev=state.mu,
             supercurrent=J_s,
             normal_current=J_n,
             A_induced=A_induced,
@@ -462,6 +469,8 @@ def make_grid_chunk_fn(cfg: StepConfig, chunk_size: int):
                 time=st.time, step=st.step, dpsi_window=st.dpsi_window,
                 done=st.done, failed=st.failed,
             )
+            if cfg.poisson_predictor and not cfg.include_screening:
+                c["mu_prev"] = st.mu_prev
             if carry_A_induced:
                 c["A_induced"] = st.A_induced
             if cfg.A_fn is not None:

@@ -76,6 +76,42 @@ def _array_digest(*arrays: np.ndarray) -> str:
     return digest.hexdigest()
 
 
+def _callable_fingerprint(fn: Callable) -> str:
+    """Bytecode-based value token for a plain jittable callable (cf.
+    ``Parameter.fingerprint``). Includes closure cell values so two closures
+    with identical code but different captured constants (e.g. ramp rates)
+    fingerprint differently."""
+    import hashlib
+
+    digest = hashlib.sha1()
+    code = getattr(fn, "__code__", None)
+    if code is None:  # callable object: fall back to its call method
+        code = fn.__call__.__code__
+        digest.update(repr(vars(fn)).encode())
+    digest.update(code.co_code)
+    digest.update(repr(code.co_consts).encode())
+    for cell in getattr(fn, "__closure__", None) or ():
+        try:
+            digest.update(repr(cell.cell_contents).encode())
+        except ValueError:  # empty cell
+            digest.update(b"<empty>")
+    return digest.hexdigest()
+
+
+def jittable(fn: Callable) -> Callable:
+    """Mark a callable as jax-traceable (``fn.jittable = True``).
+
+    Used for ``terminal_currents`` functions: a traced-current callable is
+    evaluated *inside* the compiled TDGL step, so current ramps / IV sweeps
+    keep the full fused chunk size instead of dropping to one step per
+    host dispatch (the reference evaluates terminal currents in its Python
+    loop every step, ``tdgl/solver/solver.py:325-345`` — on TPU that costs
+    ~3 orders of magnitude in throughput through the dispatch tunnel).
+    """
+    fn.jittable = True
+    return fn
+
+
 class SolverResult(NamedTuple):
     """The per-step quantities produced by the solver (informational; the
     compiled runtime carries them in :class:`tdgl_tpu.solver.step.SolverState`
@@ -238,7 +274,11 @@ class TDGLSolver:
         if callable(terminal_currents):
             current_func = terminal_currents
             self.dynamic_currents = True
+            self._jittable_currents = bool(
+                getattr(terminal_currents, "jittable", False)
+            )
         else:
+            self._jittable_currents = False
             terminal_currents = {
                 name: terminal_currents.get(name, 0.0)
                 for name in self.terminal_names
@@ -284,6 +324,14 @@ class TDGLSolver:
                 " device.make_mesh(structured=True) or use"
                 " poisson_solver='cg'."
             )
+        # TPU-scale fence for the unstructured (gather) backend: large ELL
+        # programs reproducibly fault the TPU runtime (~50k sites; see
+        # SolverOptions.unstructured_tpu_site_limit), so route them to the
+        # host CPU loudly instead of letting the device crash mid-run.
+        self._exec_device = self._select_exec_device(
+            structured=self.structured, n_sites=len(mesh.sites),
+            backend=jax.default_backend(), options=options, logger=logger,
+        )
 
         # --- operators -------------------------------------------------------
         terminal_psi = options.terminal_psi
@@ -291,7 +339,7 @@ class TDGLSolver:
                  else np.array([], dtype=np.int32))
         logger.info("Constructing finite volume operators.")
         host_op = build_operators(mesh, fixed_sites=fixed, dtype=self.rdtype)
-        self.op = jax.tree.map(jnp.asarray, host_op)
+        self.op = self._put(jax.tree.map(jnp.asarray, host_op))
         self.host_op = host_op
         if self.structured:
             from ..fv.stencil_operators import build_stencil_operators
@@ -329,7 +377,7 @@ class TDGLSolver:
             )
             host_amg = build_amg(host_op, coarsening=coarsening,
                                  dtype=self.rdtype)
-            self.amg = jax.tree.map(jnp.asarray, host_amg)
+            self.amg = self._put(jax.tree.map(jnp.asarray, host_amg))
             logger.info(
                 "Built two-level AMG preconditioner: %d aggregates"
                 " (coarsening %d).", host_amg.Ac_inv.shape[0], coarsening,
@@ -366,8 +414,9 @@ class TDGLSolver:
                 )
             self._screening_weights = (weights, fft_data)
         else:
-            self._screening_weights = jnp.asarray(weights,
-                                                  dtype=self.rdtype)
+            self._screening_weights = self._put(
+                jnp.asarray(weights, dtype=self.rdtype)
+            )
 
         # --- initial state -----------------------------------------------------
         n_sites = len(mesh.sites)
@@ -393,10 +442,39 @@ class TDGLSolver:
         self.host_dynamic = (
             (self.dynamic_vector_potential and not self._jittable_A)
             or (self.dynamic_epsilon and not self._jittable_eps)
-            or self.dynamic_currents
+            or (self.dynamic_currents and not self._jittable_currents)
         )
 
-        A_fn = eps_fn = None
+        A_fn = eps_fn = mu_boundary_fn = None
+        if self._jittable_currents:
+            # Terminal currents -> Neumann BC values is LINEAR with a static
+            # matrix: density on terminal i's boundary edges is
+            # (-1/length_i) * sum_{j != i} I_j (cf. _mu_boundary_from_
+            # currents). Bake the (B, n_terminals) matrix and trace only the
+            # user's currents function inside the step.
+            n_b = len(host_op.boundary_edge_indices)
+            T = np.zeros((n_b, len(self.terminal_names)), dtype=self.rdtype)
+            for term in self.terminal_info:
+                for j, name in enumerate(self.terminal_names):
+                    if name != term.name:
+                        T[term.boundary_edge_indices, j] = -1.0 / term.length
+            names = tuple(self.terminal_names)
+            raw_currents = current_func
+
+            def mu_boundary_fn(t, _T=T, _names=names, _fn=raw_currents,
+                               _scale=J_scale):
+                currents = _fn(t)
+                I_vec = jnp.stack(
+                    [jnp.asarray(currents[name], dtype=_T.dtype) * _scale
+                     for name in _names]
+                )
+                return jnp.asarray(_T) @ I_vec
+
+            mu_boundary_fn = _TracedInput(mu_boundary_fn, (
+                "currents", _callable_fingerprint(raw_currents),
+                float(J_scale), names, _array_digest(T),
+            ))
+
         if self._jittable_A:
             if self.structured:
                 # Padded grid edge centers (invalid entries sit at the mesh
@@ -515,10 +593,8 @@ class TDGLSolver:
             max_iterations_per_step=int(options.max_iterations_per_step),
             poisson_tolerance=poisson_tol,
             poisson_max_iterations=int(options.poisson_max_iterations),
-            poisson_fixed_iters=(
-                int(options.poisson_fixed_iterations)
-                if options.poisson_fixed_iterations is not None else None
-            ),
+            poisson_fixed_iters=self._poisson_fixed_iters(options),
+            poisson_predictor=(options.poisson_warm_start == "extrapolate"),
             poisson_use_mg=(options.poisson_solver == "mg"
                             and self.structured),
             # The smoother damping is tuned per preconditioner: 0.9 for the
@@ -534,7 +610,7 @@ class TDGLSolver:
             ),
             A_fn=A_fn,
             eps_fn=eps_fn,
-            mu_boundary_fn=None,
+            mu_boundary_fn=mu_boundary_fn,
             use_amg=self._use_amg,
         )
         if self.host_dynamic:
@@ -568,6 +644,73 @@ class TDGLSolver:
             self.chunk_fn = lambda state: self._raw_chunk_fn(
                 self.op, self._screening_weights, self.amg, state
             )
+
+    def _poisson_fixed_iters(self, options: SolverOptions) -> Optional[int]:
+        """Resolve ``poisson_fixed_iterations`` (None = auto, 0 = forced
+        tolerance-stopped; see SolverOptions). Auto picks a fixed 2-iteration
+        MG-CG solve on the float32 structured deep-multigrid path — measured
+        at ~2e-6 worst-case relative residual with the extrapolated warm
+        start on the 50k benchmark, i.e. at the tolerance-stopped solve's
+        own f32 floor — with 3 iterations when the plain warm start is
+        selected. The per-step residual gate still fails loudly if a
+        geometry needs more."""
+        pf = options.poisson_fixed_iterations
+        if pf is not None:
+            return int(pf) if pf > 0 else None
+        if (self.structured and self._use_amg
+                and options.dtype == "float32"
+                and options.poisson_solver == "cg"):
+            return 2 if options.poisson_warm_start == "extrapolate" else 3
+        return None
+
+    @staticmethod
+    def _select_exec_device(structured: bool, n_sites: int, backend: str,
+                            options: SolverOptions, logger=None):
+        """Decide where the solve executes (None = jax default device).
+
+        The gather-based ELL backend is fenced on accelerators above
+        ``options.unstructured_tpu_site_limit`` sites: the measured TPU
+        runtime behavior is a reproducible kernel fault at ~50k sites (and
+        ~1000x-slower-than-stencil gathers below that), so large
+        unstructured problems run on the host CPU with a warning. Raises
+        RuntimeError if no CPU device exists to route to.
+        """
+        limit = options.unstructured_tpu_site_limit
+        if structured or limit is None or backend == "cpu":
+            return None
+        if n_sites <= int(limit):
+            return None
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is None:
+            raise RuntimeError(
+                f"The unstructured (ELL) solver backend with {n_sites} mesh"
+                f" sites exceeds unstructured_tpu_site_limit={limit} on"
+                f" backend {backend!r} (large gather programs fault the TPU"
+                " runtime), and no host CPU device is available to route"
+                " to. Use a structured mesh"
+                " (device.make_mesh(structured=True)) for TPU execution at"
+                " this scale."
+            )
+        if logger is not None:
+            logger.warning(
+                "Unstructured (ELL) mesh with %d sites exceeds the TPU"
+                " fence (unstructured_tpu_site_limit=%d): running this"
+                " solve on the host CPU. Use"
+                " device.make_mesh(structured=True) for the fast TPU"
+                " (stencil) path, or raise/disable the limit to force"
+                " accelerator execution.", n_sites, limit,
+            )
+        return cpu
+
+    def _put(self, tree):
+        """Commit a pytree to the execution device chosen by the ELL fence
+        (no-op when the default device is in use)."""
+        if self._exec_device is None:
+            return tree
+        return jax.device_put(tree, self._exec_device)
 
     # -- host-side evaluation helpers ---------------------------------------
     def _eval_A(self, time: float) -> np.ndarray:
@@ -665,7 +808,7 @@ class TDGLSolver:
             else:
                 updates["mu_boundary"] = jnp.asarray(mu_b)
         if updates:
-            state = state._replace(**updates)
+            state = state._replace(**self._put(updates))
         return state
 
     # -- state assembly ---------------------------------------------------------
@@ -716,13 +859,16 @@ class TDGLSolver:
         # Build complex psi ON DEVICE from two real transfers: the axon
         # TPU tunnel cannot transfer complex arrays host->device (hangs),
         # and this is the only complex host->device boundary in the solver.
+        # (With the ELL fence active the parts are committed to the CPU
+        # first, so the complex build runs there too.)
         psi_dev = jax.jit(
             lambda re, im: (re + 1j * im).astype(self.cdtype)
-        )(np.ascontiguousarray(np.real(psi), dtype=rd),
-          np.ascontiguousarray(np.imag(psi), dtype=rd))
-        return SolverState(
+        )(self._put(np.ascontiguousarray(np.real(psi), dtype=rd)),
+          self._put(np.ascontiguousarray(np.imag(psi), dtype=rd)))
+        return self._put(SolverState(
             psi=psi_dev,
             mu=jnp.asarray(mu),
+            mu_prev=jnp.asarray(mu),
             supercurrent=jnp.asarray(supercurrent),
             normal_current=jnp.asarray(normal_current),
             A_induced=jnp.asarray(A_induced),
@@ -738,7 +884,7 @@ class TDGLSolver:
             end_time=jnp.asarray(options.solve_time, rd),
             done=jnp.asarray(False),
             failed=jnp.asarray(False),
-        )
+        ))
 
     def _initial_grid_state(self, psi, mu, supercurrent, normal_current,
                             A_induced):
@@ -773,6 +919,7 @@ class TDGLSolver:
             psi_r=jnp.asarray(psi_r),
             psi_i=jnp.asarray(psi_i),
             mu=jnp.asarray(s2g(np.asarray(mu, rd))),
+            mu_prev=jnp.asarray(s2g(np.asarray(mu, rd))),
             supercurrent=jnp.asarray(e2g(np.asarray(supercurrent, rd))),
             normal_current=jnp.asarray(e2g(np.asarray(normal_current, rd))),
             A_induced=jnp.asarray(e2g(np.asarray(A_induced, rd))),

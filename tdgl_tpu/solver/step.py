@@ -41,6 +41,7 @@ class SolverState(NamedTuple):
 
     psi: jax.Array              # (N,) complex
     mu: jax.Array               # (N,)
+    mu_prev: jax.Array          # (N,) — previous step's mu (solve predictor)
     supercurrent: jax.Array     # (E,)
     normal_current: jax.Array   # (E,)
     A_induced: jax.Array        # (E, 2)
@@ -162,6 +163,12 @@ class StepConfig:
     # Anderson(1) acceleration for the screening fixed point (False =
     # reference-style Polyak heavy ball).
     screening_anderson: bool = True
+    # Warm-start the mu solve from the linear extrapolation
+    # ``2 mu_n - mu_{n-1}`` instead of ``mu_n`` (see
+    # SolverOptions.poisson_warm_start). Pure solver-guess change: with
+    # tolerance-stopped CG the solution is unchanged; with fixed-iteration
+    # solves it lands ~4x closer (measured).
+    poisson_predictor: bool = False
 
 
 def make_step_fn(cfg: StepConfig):
@@ -260,11 +267,13 @@ def make_step_fn(cfg: StepConfig):
         old_sq = jnp.abs(state.psi) ** 2
         dt0 = state.tentative_dt
 
-        def tdgl_update(psi_in, mu_in, A_induced, dt, fixed_iters=None):
+        def tdgl_update(psi_in, mu_in, A_induced, dt, fixed_iters=None,
+                        solve_guess=None):
             # Within the screening fixed point the reference feeds the
             # previous iteration's psi and mu back into the Euler update
             # while keeping |psi^n|^2 as the old superfluid density
-            # (``solver.py:649,676-680``).
+            # (``solver.py:649,676-680``). ``solve_guess`` only changes the
+            # mu-solve warm start (the physics input stays ``mu_in``).
             A_total = (A_applied + A_induced if cfg.include_screening
                        else A_applied)
             U = gtdgl.edge_link_phases(A_total, op.edge_directions)
@@ -272,7 +281,8 @@ def make_step_fn(cfg: StepConfig):
                 op, rdtype, U, psi_in, old_sq, mu_in, epsilon, dt
             )
             J_s, mu_n, J_n, cg_iters, cg_res = observables(
-                op, amg, U, psi_n, dA_dt, mu_boundary, mu_in,
+                op, amg, U, psi_n, dA_dt, mu_boundary,
+                mu_in if solve_guess is None else solve_guess,
                 fixed_iters=fixed_iters,
             )
             return (psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters,
@@ -397,9 +407,12 @@ def make_step_fn(cfg: StepConfig):
             fail = jnp.logical_or(fail, cg_res > res_allowed)
             screening_iters = s
         else:
+            guess = (2.0 * state.mu - state.mu_prev
+                     if cfg.poisson_predictor else None)
             (psi_n, sq_n, mu_n, J_s, J_n, dt_used, fail, cg_iters,
              cg_res) = tdgl_update(
-                state.psi, state.mu, state.A_induced, dt0
+                state.psi, state.mu, state.A_induced, dt0,
+                solve_guess=guess,
             )
             if cfg.poisson_fixed_iters is not None:
                 # Fixed-iteration CG has no internal stopping test; verify
@@ -430,6 +443,7 @@ def make_step_fn(cfg: StepConfig):
         new_state = SolverState(
             psi=psi_n,
             mu=mu_n,
+            mu_prev=state.mu,
             supercurrent=J_s,
             normal_current=J_n,
             A_induced=A_induced,

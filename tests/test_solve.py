@@ -164,6 +164,48 @@ def test_time_varying_terminal_currents(transport_device):
     assert np.allclose(measured, expected, rtol=0.1)
 
 
+def test_traced_terminal_currents(transport_device):
+    """A jittable current ramp runs on the traced path: the solver keeps a
+    fused chunk size > 1 (the host path drops to one step per dispatch —
+    cf. reference ``tdgl/solver/solver.py:325-345``, which re-evaluates
+    terminal currents in its Python loop), and the measured current tracks
+    the instantaneous bias."""
+    import jax.numpy as jnp
+
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    device = transport_device
+
+    @tdgl.jittable
+    def terminal_currents(t):
+        bias = 2.0 + 0.8 * jnp.minimum(t, 10.0)
+        return dict(source=bias, drain=-bias)
+
+    options = tdgl.SolverOptions(
+        solve_time=10,
+        skip_time=2,
+        field_units="uT",
+        current_units="uA",
+        save_every=100,
+    )
+    solver = TDGLSolver(device, options,
+                        terminal_currents=terminal_currents)
+    assert not solver.host_dynamic
+    assert solver.chunk_size > 1  # the whole point of the traced path
+    solution = solver.solve()
+    t_final = float(solution.times[-1])
+    expected = 2.0 + 0.8 * min(t_final, 10.0)
+    ys = np.linspace(-5, 5, 501)
+    measured = [
+        solution.current_through_path(
+            np.stack([x0 * np.ones_like(ys), ys], axis=1), with_units=False
+        )
+        for x0 in [-8, 0, 8]
+    ]
+    assert expected > 4.0
+    assert np.allclose(measured, expected, rtol=0.1)
+
+
 def test_screening_float32_converges():
     """Screening at dtype=float32 with tolerance 1e-6 converges (and matches
     the float64 per-edge-criterion run). The per-edge error ratio of the

@@ -224,3 +224,37 @@ def test_structured_mesh_rejects_unstructured_kwargs():
         device.make_mesh(min_points=500, structured=True, smooth=10)
     with pytest.raises(ValueError, match="not applicable"):
         device.make_mesh(min_points=500, structured=True, max_volume=0.1)
+
+
+def test_ell_tpu_fence_decision():
+    """The ELL fence routes oversized unstructured meshes away from
+    accelerators (documented fault threshold) and leaves everything else
+    alone."""
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    options = tdgl.SolverOptions(solve_time=1)
+    # Structured meshes and CPU runs are never fenced.
+    assert TDGLSolver._select_exec_device(
+        structured=True, n_sites=10**6, backend="tpu", options=options
+    ) is None
+    assert TDGLSolver._select_exec_device(
+        structured=False, n_sites=10**6, backend="cpu", options=options
+    ) is None
+    # Small unstructured meshes run where they are.
+    assert TDGLSolver._select_exec_device(
+        structured=False, n_sites=20_000, backend="tpu", options=options
+    ) is None
+    # Oversized unstructured meshes on an accelerator route to the CPU
+    # (in this CPU-only test env jax.devices("cpu") exists, so the fence
+    # returns that device).
+    dev = TDGLSolver._select_exec_device(
+        structured=False, n_sites=50_000, backend="tpu", options=options
+    )
+    assert dev is not None and dev.platform == "cpu"
+    # Fence disabled -> never routes.
+    options_off = tdgl.SolverOptions(
+        solve_time=1, unstructured_tpu_site_limit=None
+    )
+    assert TDGLSolver._select_exec_device(
+        structured=False, n_sites=10**6, backend="tpu", options=options_off
+    ) is None

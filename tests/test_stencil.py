@@ -257,6 +257,75 @@ def test_backend_transport_parity():
     assert np.abs(a["mu"] - b["mu"]).max() / mu_scale < 1e-7
 
 
+def test_traced_currents_grid_parity():
+    """On the stencil backend, a jittable terminal-current ramp (traced
+    inside the compiled chunk, chunk size > 1) produces the same trajectory
+    as the host path (chunk size 1, currents evaluated in Python every
+    step)."""
+    import jax.numpy as jnp
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    xi = 1.0
+    layer = tdgl.Layer(coherence_length=xi, london_lambda=2, thickness=0.1)
+    film = tdgl.Polygon("film", points=box(16, 6)).resample(300)
+    source = tdgl.Polygon(points=box(1.5, 6, center=(-8, 0))).set_name(
+        "source"
+    )
+    drain = source.copy().scale(xfact=-1).set_name("drain")
+    device = tdgl.Device(
+        "bar", layer=layer, film=film, terminals=[source, drain],
+        probe_points=[(-6, 0), (6, 0)], length_units="um",
+    )
+    device.make_mesh(min_points=1800, structured=True)
+
+    @tdgl.jittable
+    def ramp_traced(t):
+        bias = 1.0 + 2.0 * jnp.minimum(t * 5.0, 1.0)
+        return dict(source=bias, drain=-bias)
+
+    def ramp_host(t):
+        bias = 1.0 + 2.0 * min(float(t) * 5.0, 1.0)
+        return dict(source=bias, drain=-bias)
+
+    a = _trajectory(device, "stencil", steps=200,
+                    field=0.0, currents=ramp_traced)
+
+    # Host path: chunk size 1 with the host-update callback applied before
+    # every step, exactly as the Runner drives it.
+    from tdgl_tpu.utils.jaxio import tree_to_numpy
+
+    options_host = tdgl.SolverOptions(
+        solve_time=1e9, dt_init=1e-3, adaptive=False, save_every=200,
+        dtype="float64", solver_backend="stencil",
+        field_units="mT", current_units="uA", poisson_tolerance=1e-11,
+    )
+    solver_b = TDGLSolver(device, options_host,
+                          terminal_currents=ramp_host)
+    assert solver_b.chunk_size == 1
+    state = solver_b._initial_state()
+    for _ in range(200):
+        state = solver_b._host_update(state)
+        state, _, exported = solver_b.chunk_fn(state)
+    b = solver_b._state_to_arrays(tree_to_numpy(exported))
+
+    # chunk-size check: the traced solver fuses steps, the host one cannot.
+    options = tdgl.SolverOptions(
+        solve_time=1.0, save_every=100, dtype="float64",
+        solver_backend="stencil", field_units="mT", current_units="uA",
+    )
+    assert TDGLSolver(device, options,
+                      terminal_currents=ramp_traced).chunk_size > 1
+    assert TDGLSolver(device, options,
+                      terminal_currents=ramp_host).chunk_size == 1
+    scale = np.abs(a["psi"]).max()
+    assert np.abs(a["psi"] - b["psi"]).max() / scale < 1e-9
+    mu_scale = max(np.abs(a["mu"]).max(), 1e-12)
+    assert np.abs(a["mu"] - b["mu"]).max() / mu_scale < 1e-7
+
+
 def test_fft_screening_parity(structured_device):
     """The lattice FFT convolution reproduces the O(E x S) pairwise sum
     exactly (same positions, same weights) to f32 rounding."""
