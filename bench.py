@@ -73,6 +73,9 @@ def measure(target_sites: int, attempts: int):
     # the benchmark measures live TDGL dynamics (psi update + CG Poisson
     # solve doing real work), not a frozen equilibrium.
     solver_kwargs = {}
+    ptol = os.environ.get("TDGL_BENCH_PTOL")
+    if ptol:
+        solver_kwargs.update(poisson_tolerance=float(ptol))
     poisson = os.environ.get("TDGL_BENCH_POISSON", "")
     if poisson == "cg_tol":
         solver_kwargs.update(poisson_fixed_iterations=0)
@@ -191,6 +194,7 @@ def measure_screened(target_sites: int, attempts: int):
     chunk_s = min(CHUNK, 2000)  # ~2 ms/step: keep dispatches ~4 s
     device = build_device(target_sites)
     n_sites = len(device.mesh.sites)
+    inner = os.environ.get("TDGL_BENCH_SCREEN_INNER")
     options = tdgl.SolverOptions(
         solve_time=1e9,
         dt_init=1e-4,
@@ -202,6 +206,7 @@ def measure_screened(target_sites: int, attempts: int):
         dtype="float32",
         include_screening=True,
         screening_tolerance=1e-3,
+        screening_cg_iterations=(int(inner) if inner else None),
     )
     solver = TDGLSolver(device, options, applied_vector_potential=0.5)
     state = solver._initial_state()

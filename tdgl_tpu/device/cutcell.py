@@ -1,0 +1,278 @@
+"""Cut-cell boundary corrections for structured (lattice) meshes.
+
+A lattice-clipped mesh keeps only sites strictly inside the film polygon, so
+its outermost Voronoi cells follow a staircase up to one lattice spacing
+inside the true boundary. Left uncorrected, the finite-volume scheme then
+simulates a slightly smaller, ragged film — an O(h) boundary-geometry error
+that shows up directly in boundary-sensitive observables (peak sheet
+currents, fluxoids; cf. the reference's regression constants,
+``/root/reference/tdgl/test/test_solve.py:176-197``).
+
+This module replaces the staircase boundary cells with the **true Voronoi
+partition of the film among the kept sites**: each boundary-ring cell is the
+intersection of (a) the bisector half-planes against every nearby kept site
+and (b) the local half-planes of the film/hole boundary (film CCW, holes CW,
+so "inside" is always to the left of each directed polygon edge). Interior
+cells remain the ideal lattice hexagon. Dual-edge lengths are the Voronoi
+facet lengths of that same partition clipped to the film — so the
+finite-volume areas tile the polygon (up to O(h^3/R) slivers along concave /
+curved boundary sections, where the local tangent hull under-covers) and
+the fluxes are consistent with the true Neumann boundary. This is the
+standard embedded-boundary / cut-cell finite-volume construction.
+
+Everything runs in NumPy on the host at mesh-build time; only the
+O(sqrt(N)) boundary ring is touched.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry import ensure_unique, polygon_area
+
+__all__ = ["apply_cut_cell_corrections", "cut_cell_corrections"]
+
+
+def _oriented_boundary_edges(
+    film: np.ndarray, holes: List[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All polygon boundary edges, oriented so the film interior is to the
+    LEFT of each directed edge. Returns ``(p0, p1)`` arrays of shape (M, 2).
+    """
+    segs0, segs1 = [], []
+    film = ensure_unique(np.asarray(film, dtype=float))
+    if polygon_area(film) < 0:
+        film = film[::-1]  # CCW
+    segs0.append(film)
+    segs1.append(np.roll(film, -1, axis=0))
+    for hole in holes or []:
+        hole = ensure_unique(np.asarray(hole, dtype=float))
+        if polygon_area(hole) > 0:
+            hole = hole[::-1]  # CW: film side is the left of each edge
+        segs0.append(hole)
+        segs1.append(np.roll(hole, -1, axis=0))
+    return np.concatenate(segs0), np.concatenate(segs1)
+
+
+def _point_segment_distance(
+    points: np.ndarray, p0: np.ndarray, p1: np.ndarray
+) -> np.ndarray:
+    """(N, M) distances between N points and M segments."""
+    d = p1 - p0                                   # (M, 2)
+    len_sq = np.maximum(np.einsum("md,md->m", d, d), 1e-300)
+    rel = points[:, None, :] - p0[None, :, :]     # (N, M, 2)
+    t = np.clip(np.einsum("nmd,md->nm", rel, d) / len_sq, 0.0, 1.0)
+    proj = p0[None] + t[..., None] * d[None]
+    diff = points[:, None, :] - proj
+    return np.sqrt(np.einsum("nmd,nmd->nm", diff, diff))
+
+
+def _clip_poly_halfplane(poly: np.ndarray, w: np.ndarray,
+                         b: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of ``poly`` by ``w . x + b >= 0``."""
+    if len(poly) == 0:
+        return poly
+    s = poly @ w + b
+    out = []
+    n = len(poly)
+    for i in range(n):
+        j = (i + 1) % n
+        a_pt, b_pt = poly[i], poly[j]
+        sa, sb = s[i], s[j]
+        if sa >= 0:
+            out.append(a_pt)
+            if sb < 0:
+                t = sa / (sa - sb)
+                out.append(a_pt + t * (b_pt - a_pt))
+        elif sb >= 0:
+            t = sa / (sa - sb)
+            out.append(a_pt + t * (b_pt - a_pt))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def cut_cell_corrections(
+    sites: np.ndarray,
+    edges: np.ndarray,
+    spacing: float,
+    film: np.ndarray,
+    holes: Optional[List[np.ndarray]] = None,
+    areas: Optional[np.ndarray] = None,
+    dual_edge_lengths: Optional[np.ndarray] = None,
+    force_sites: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cut-cell site areas and dual-edge lengths for a lattice mesh.
+
+    Args:
+        sites: ``(N, 2)`` site positions (lattice points inside the film).
+        edges: ``(E, 2)`` site-index pairs.
+        spacing: Lattice constant ``h`` (same units as ``sites``/``film``).
+        film: Film polygon vertices.
+        holes: Hole polygons.
+        areas / dual_edge_lengths: Current (staircase) values, returned
+            unchanged for sites/edges away from the boundary.
+        force_sites: Site indices whose cells must be rebuilt regardless of
+            polygon distance — pass the triangulation's boundary sites:
+            their staircase Voronoi cells were clipped to the staircase
+            hull even where the true film extends beyond, and the film
+            territory of their missing lattice neighbors falls to them.
+
+    Returns:
+        ``(areas, dual_edge_lengths)`` corrected arrays.
+    """
+    from scipy.spatial import cKDTree
+
+    h = float(spacing)
+    sites = np.asarray(sites, float)
+    edges = np.asarray(edges)
+    hex_area = (np.sqrt(3) / 2.0) * h * h
+    dual_len = h / np.sqrt(3.0)
+
+    areas = (np.full(len(sites), hex_area) if areas is None
+             else np.asarray(areas, float).copy())
+    duals = (np.full(len(edges), dual_len) if dual_edge_lengths is None
+             else np.asarray(dual_edge_lengths, float).copy())
+
+    p0, p1 = _oriented_boundary_edges(film, holes or [])
+    seg_d = p1 - p0
+    # Unit inward normals of the polygon edges (inside = left of d).
+    seg_n = np.column_stack([-seg_d[:, 1], seg_d[:, 0]])
+    seg_n /= np.maximum(np.linalg.norm(seg_n, axis=1), 1e-300)[:, None]
+
+    # A cell can extend to ~1.1h from its site once lattice neighbors are
+    # missing; polygon planes within r_reach of a point participate in its
+    # clip, and bisectors of sites within r_nbr bound the cells.
+    r_reach = 1.25 * h
+    r_nbr = 2.1 * h
+
+    site_tree = cKDTree(sites)
+    seg_mids = 0.5 * (p0 + p1)
+    seg_half = 0.5 * np.linalg.norm(seg_d, axis=1)
+    seg_tree = cKDTree(seg_mids)
+    seg_pad = float(seg_half.max()) if len(seg_half) else 0.0
+
+    # Ring detection: tree query narrows the (sites x segments) candidate
+    # set to the boundary neighborhood before any exact distance is
+    # computed (a dense 50k x 2400 distance matrix costs minutes; this
+    # costs ~a second).
+    cand_lists = site_tree.query_ball_tree(seg_tree, r_reach + seg_pad)
+    ring = []
+    for i, lst in enumerate(cand_lists):
+        if not lst:
+            continue
+        segs = np.asarray(lst)
+        d = _point_segment_distance(sites[i][None], p0[segs], p1[segs])[0]
+        if d.min() <= r_reach:
+            ring.append(i)
+    ring_sites = np.asarray(ring, dtype=int)
+    if force_sites is not None and len(force_sites):
+        ring_sites = np.union1d(ring_sites,
+                                np.asarray(force_sites, dtype=int))
+    if len(ring_sites) == 0:
+        return areas, duals
+
+    def polygon_planes(point):
+        """(w, b) rows of nearby film-boundary half-planes w.x + b >= 0."""
+        cand = seg_tree.query_ball_point(point, r_reach + seg_pad)
+        if not cand:
+            return np.zeros((0, 2)), np.zeros(0)
+        cand = np.asarray(cand)
+        d = _point_segment_distance(point[None], p0[cand], p1[cand])[0]
+        keep = cand[d <= r_reach]
+        w = seg_n[keep]
+        b = -np.einsum("md,md->m", w, p0[keep])
+        return w, b
+
+    box_r = 1.6 * h
+    box = np.array([[-box_r, -box_r], [box_r, -box_r],
+                    [box_r, box_r], [-box_r, box_r]])
+
+    for s in ring_sites:
+        cell = box + sites[s]
+        for n in site_tree.query_ball_point(sites[s], r_nbr):
+            if n == s:
+                continue
+            # Keep the side of the bisector closer to s:
+            # (x - (s+n)/2) . (s - n) >= 0.
+            w = sites[s] - sites[n]
+            b = -float(0.5 * (sites[s] + sites[n]) @ w)
+            cell = _clip_poly_halfplane(cell, w, b)
+            if len(cell) == 0:
+                break
+        if len(cell):
+            w_all, b_all = polygon_planes(sites[s])
+            for w, b in zip(w_all, b_all):
+                cell = _clip_poly_halfplane(cell, w, float(b))
+                if len(cell) == 0:
+                    break
+        areas[s] = abs(polygon_area(cell)) if len(cell) >= 3 else 0.0
+
+    # Dual edges: the Voronoi facet between sites i and j — the bisector
+    # segment bounded by every other nearby site's bisector and by the film
+    # boundary. Interior facets come out exactly h/sqrt(3).
+    ring_mask = np.zeros(len(sites), dtype=bool)
+    ring_mask[ring_sites] = True
+    touched = np.flatnonzero(ring_mask[edges[:, 0]] | ring_mask[edges[:, 1]])
+
+    def cut(c0, c1, lo, hi):
+        """Restrict {t : c0 + t c1 >= 0} onto [lo, hi]."""
+        if abs(c1) < 1e-300:
+            return (lo, hi) if c0 >= 0 else (1.0, 0.0)
+        t_star = -c0 / c1
+        if c1 > 0:
+            return max(lo, t_star), hi
+        return lo, min(hi, t_star)
+
+    for e in touched:
+        i, j = edges[e]
+        si, sj = sites[i], sites[j]
+        mid = 0.5 * (si + sj)
+        t_dir = sj - si
+        n_hat = np.array([-t_dir[1], t_dir[0]])
+        n_hat /= max(np.linalg.norm(n_hat), 1e-300)
+        lo, hi = -box_r, box_r
+        for n in site_tree.query_ball_point(mid, r_nbr):
+            if n == i or n == j:
+                continue
+            # Closer to i than to n along p(t) = mid + t n_hat:
+            # 2 p . (i - n) + |n|^2 - |i|^2 >= 0 (linear in t).
+            w = si - sites[n]
+            c0 = (2.0 * float(mid @ w)
+                  + float(sites[n] @ sites[n]) - float(si @ si))
+            c1 = 2.0 * float(n_hat @ w)
+            lo, hi = cut(c0, c1, lo, hi)
+            if hi <= lo:
+                break
+        if hi > lo:
+            w_all, b_all = polygon_planes(mid)
+            for w, b in zip(w_all, b_all):
+                c0 = float(w @ mid) + float(b)
+                c1 = float(w @ n_hat)
+                lo, hi = cut(c0, c1, lo, hi)
+                if hi <= lo:
+                    break
+        duals[e] = max(0.0, hi - lo)
+
+    return areas, duals
+
+
+def apply_cut_cell_corrections(mesh, film: np.ndarray,
+                               holes: Optional[List[np.ndarray]] = None
+                               ) -> None:
+    """Replace ``mesh.areas`` and ``mesh.edge_mesh.dual_edge_lengths`` with
+    cut-cell values (in place). ``film``/``holes`` must be in the same
+    (dimensionless) coordinates as ``mesh.sites``; ``mesh.grid`` must be
+    attached (structured meshes only)."""
+    areas, duals = cut_cell_corrections(
+        mesh.sites,
+        mesh.edge_mesh.edges,
+        mesh.grid.spacing,
+        film,
+        holes,
+        areas=mesh.areas,
+        dual_edge_lengths=mesh.edge_mesh.dual_edge_lengths,
+        force_sites=mesh.boundary_indices,
+    )
+    mesh.areas = areas
+    mesh.edge_mesh.dual_edge_lengths = duals

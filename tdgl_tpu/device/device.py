@@ -375,6 +375,7 @@ class Device:
         min_points: Optional[int] = None,
         smooth: int = 0,
         structured: bool = False,
+        cut_cells: bool = True,
         **mesh_kwargs,
     ) -> None:
         """Generate the dimensionless FV mesh for the device.
@@ -389,9 +390,17 @@ class Device:
                 unstructured Delaunay mesh. Structured meshes map every
                 finite-volume operator onto dense array stencils — the fast
                 (gather-free) TPU solver path. The film boundary becomes a
-                lattice staircase (O(h), like any mesh); prefer this for
-                performance, the unstructured mesher for boundary-conforming
-                meshes.
+                lattice staircase; with ``cut_cells`` (default) the
+                finite-volume weights are corrected to the true polygon
+                boundary, restoring boundary accuracy comparable to a
+                boundary-conforming mesh. Prefer structured meshes for
+                performance; the unstructured mesher remains for
+                boundary-conforming needs.
+            cut_cells: Structured meshes only — replace the staircase
+                boundary cells' Voronoi areas and dual-edge lengths with
+                their values clipped against the true film polygon
+                (:mod:`tdgl_tpu.device.cutcell`). Set False for the raw
+                staircase discretization.
         """
         logger.info("Generating mesh...")
         t0 = time.perf_counter()
@@ -420,6 +429,15 @@ class Device:
             )
             self._create_dimensionless_mesh(points, triangles)
             self._attach_grid(grid)
+            if cut_cells:
+                from .cutcell import apply_cut_cell_corrections
+
+                xi = self.layer.coherence_length
+                apply_cut_cell_corrections(
+                    self.mesh,
+                    np.asarray(self.film.points) / xi,
+                    [np.asarray(hole.points) / xi for hole in self.holes],
+                )
         else:
             points, triangles = generate_mesh(
                 self.film.points,

@@ -218,6 +218,109 @@ def cg_solve_fixed(
     return CGResult(project(x), jnp.int32(n_iters), res)
 
 
+def cg_solve_topup(
+    apply_A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    base_iters: int,
+    tol: float = 1e-6,
+    maxiter: int = 200,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    precond_inv_diag: Optional[jax.Array] = None,
+    deflate_constant: bool = True,
+    project_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> CGResult:
+    """Fixed-count CG with a tolerance-stopped top-up.
+
+    Runs exactly ``base_iters`` pipelined iterations (``lax.fori_loop``, no
+    convergence branch — the fast path), then keeps iterating in a
+    ``lax.while_loop`` while the residual still exceeds ``tol``. In steady
+    state (warm-started solves during live dynamics) the top-up never
+    fires and its only cost is the loop condition's residual reduction;
+    on hard systems (cold starts, vortex entry at large dt) it restores
+    the tolerance-stopped robustness that a bare fixed count lacks.
+    """
+    rdtype = b.dtype
+
+    if project_fn is not None:
+        project = project_fn
+    else:
+        def project(v):
+            return _project_out_constant(v) if deflate_constant else v
+
+    b = project(b)
+    x0 = project(x0)
+    b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    eps = float(jnp.finfo(rdtype).eps)
+    tol_eff = max(float(tol), 50.0 * eps)
+    tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
+
+    def M_inv(v):
+        if precond is not None:
+            return precond(v)
+        if precond_inv_diag is None:
+            return v
+        return precond_inv_diag.astype(rdtype) * v
+
+    r0 = project(b - apply_A(x0))
+    z0 = M_inv(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def iteration(state, reproject=True):
+        x, r, z, p, rz = state
+        Ap = apply_A(p)
+        pAp = jnp.sum(p * Ap)
+        healthy = jnp.logical_and(jnp.isfinite(pAp),
+                                  pAp > jnp.finfo(rdtype).tiny)
+        alpha = jnp.where(healthy, rz / jnp.where(healthy, pAp, 1.0), 0.0)
+        x_new = x + alpha * p
+        # Null-space deflation of r is exact-arithmetic-stable across
+        # iterations (A annihilates constants and its range is orthogonal
+        # to them), so for the short fixed phase the per-iteration
+        # re-projection — one full-array reduction — is skipped; drift is
+        # O(eps) per iteration and the final projection removes it. The
+        # (rare, long) top-up phase keeps the re-projection.
+        r_new = r - alpha * Ap
+        if reproject:
+            r_new = project(r_new)
+        z_new = M_inv(r_new)
+        rz_new = jnp.sum(r_new * z_new)
+        beta = jnp.where(
+            healthy, rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0
+        )
+        p_new = z_new + beta * p
+
+        def keep(old, new):
+            return jnp.where(healthy, new, old)
+
+        return (keep(x, x_new), keep(r, r_new), keep(z, z_new),
+                keep(p, p_new), keep(rz, rz_new), healthy)
+
+    def fbody(_, state):
+        return iteration(state, reproject=False)[:5]
+
+    x, r, z, p, rz = jax.lax.fori_loop(
+        0, base_iters, fbody, (x0, r0, z0, z0, rz0)
+    )
+
+    def cond(state):
+        x, r, z, p, rz, k, ok = state
+        return jnp.logical_and(
+            ok, jnp.logical_and(jnp.sum(r * r) > tol_sq, k < maxiter)
+        )
+
+    def body(state):
+        x, r, z, p, rz, k, ok = state
+        x, r, z, p, rz, healthy = iteration((x, r, z, p, rz))
+        return (x, r, z, p, rz, k + 1, jnp.logical_and(ok, healthy))
+
+    x, r, _, _, _, k, _ok = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, np.int32(base_iters), np.bool_(True))
+    )
+    res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
+    return CGResult(project(x), k, res)
+
+
 def mg_richardson_grid(
     sten,
     rhs: jax.Array,
@@ -227,6 +330,7 @@ def mg_richardson_grid(
     maxiter: int = 50,
     amg_omega: float = 0.9,
     fixed_iters: Optional[int] = None,
+    topup: bool = False,
 ) -> CGResult:
     """Multigrid-Richardson mu solve (stencil backend).
 
@@ -243,7 +347,10 @@ def mg_richardson_grid(
     loop — the cheapest-per-iteration solve on TPU, and (like
     :func:`cg_solve_fixed`) a smooth map of its inputs, which the screening
     fixed point requires. The final residual norm is still computed once for
-    the caller's failure gate.
+    the caller's failure gate. ``topup=True`` additionally continues
+    tolerance-stopped cycles when the fixed count missed ``tol`` (cold
+    starts); do NOT combine with the screening fixed point — the top-up
+    makes the solve non-smooth.
     """
     from ..models.gtdgl_stencil import scalar_laplacian_sym
     from .hexmg import make_hexmg_apply
@@ -263,6 +370,9 @@ def mg_richardson_grid(
     x0 = project(mu_prev)
     b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
     r0 = b - apply_A(x0)
+    eps = float(jnp.finfo(rdtype).eps)
+    tol_eff = max(float(tol), 50.0 * eps)
+    tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
 
     if fixed_iters is not None:
         def fbody(_, carry):
@@ -272,12 +382,28 @@ def mg_richardson_grid(
             return (x, r)
 
         x, r = jax.lax.fori_loop(0, fixed_iters, fbody, (x0, r0))
-        res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
-        return CGResult(project(x), jnp.int32(fixed_iters), res)
+        if not topup:
+            res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
+            return CGResult(project(x), jnp.int32(fixed_iters), res)
 
-    eps = float(jnp.finfo(rdtype).eps)
-    tol_eff = max(float(tol), 50.0 * eps)
-    tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
+        # Tolerance-stopped top-up: a no-op (one residual reduction) when
+        # the fixed cycles already met tol; restores robustness on cold
+        # starts / hard steps.
+        def tcond(state):
+            _, r2, _, k = state
+            return jnp.logical_and(r2 > tol_sq, k < maxiter)
+
+        def tbody(state):
+            x, _, r, k = state
+            x = x + apply_mg(amg, r)
+            r = b - apply_A(x)
+            return (x, jnp.sum(r * r), r, k + 1)
+
+        x, r2, _, k = jax.lax.while_loop(
+            tcond, tbody,
+            (x, jnp.sum(r * r), r, np.int32(fixed_iters)),
+        )
+        return CGResult(project(x), k, jnp.sqrt(r2 / b_norm_sq))
 
     def cond(state):
         _, r2, _, k = state
@@ -304,11 +430,14 @@ def solve_mu_poisson_grid(
     amg=None,
     amg_omega: float = 0.6,
     fixed_iters: Optional[int] = None,
+    topup: bool = False,
 ) -> CGResult:
     """Grid (stencil-backend) variant of :func:`solve_mu_poisson`.
 
     Works on padded ``(Rp, Cp)`` arrays; the constant-mode deflation uses a
-    masked mean so padding/masked sites stay exactly zero.
+    masked mean so padding/masked sites stay exactly zero. ``topup`` (with
+    ``fixed_iters``) appends tolerance-stopped iterations when the fixed
+    count missed ``tol`` — see :func:`cg_solve_topup`.
     """
     from ..models.gtdgl_stencil import scalar_laplacian_sym
 
@@ -340,6 +469,12 @@ def solve_mu_poisson_grid(
             0.0,
         )
     if fixed_iters is not None:
+        if topup:
+            return cg_solve_topup(
+                apply_A, b, mu_prev, fixed_iters, tol=tol, maxiter=maxiter,
+                precond_inv_diag=inv_diag, precond=precond,
+                project_fn=project,
+            )
         return cg_solve_fixed(
             apply_A, b, mu_prev, fixed_iters, precond_inv_diag=inv_diag,
             precond=precond, project_fn=project,
@@ -359,6 +494,7 @@ def solve_mu_poisson(
     amg=None,
     amg_omega: float = 0.6,
     fixed_iters: Optional[int] = None,
+    topup: bool = False,
 ) -> CGResult:
     """Solve the scalar-potential Poisson equation ``L mu = rhs`` with
     ``L = diag(1/a) S``.
@@ -390,6 +526,12 @@ def solve_mu_poisson(
         diag = op.w_sym_rowsum.astype(rdtype)
         inv_diag = 1.0 / jnp.maximum(diag, jnp.finfo(rdtype).tiny)
     if fixed_iters is not None:
+        if topup:
+            return cg_solve_topup(
+                apply_A, b, mu_prev, fixed_iters, tol=tol, maxiter=maxiter,
+                precond_inv_diag=inv_diag, deflate_constant=True,
+                precond=precond,
+            )
         return cg_solve_fixed(
             apply_A, b, mu_prev, fixed_iters, precond_inv_diag=inv_diag,
             deflate_constant=True, precond=precond,

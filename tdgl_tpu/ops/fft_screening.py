@@ -45,24 +45,15 @@ class FFTScreeningData(NamedTuple):
     Ghat_im: jax.Array
 
 
-def build_fft_screening(sten, maps, grid, dtype=np.float32,
-                        mode: str = "edge") -> FFTScreeningData:
-    """Build the convolution kernels for a structured mesh.
+def build_fft_screening(sten, maps, grid, dtype=np.float32
+                        ) -> FFTScreeningData:
+    """Build the per-edge-class convolution kernels for a structured mesh.
 
     Args:
         sten: Host :class:`StencilOperators` (for ``edge_dirs``).
         maps: :class:`GridMaps` (padded shape).
         grid: The mesh's :class:`HexGrid` (dimensionless spacing).
         dtype: Real dtype of the solve (sets the spectrum precision).
-        mode: ``"edge"`` — one exact kernel per edge class (evaluates the
-            pairwise sum at edge centers exactly; 2 forward + 6 inverse
-            transforms per application). ``"site"`` — a single site-to-site
-            kernel (2 forward + 2 inverse transforms); edge-center values
-            are then midpoint-interpolated from the two endpoint sites
-            (:func:`induced_vector_potential_fft_site`), trading exactness
-            of the *discrete kernel* (the smooth induced potential is
-            interpolated at second order; the self-cell term integrates
-            ``1/r`` over the Voronoi cell) for ~2x fewer transforms.
     """
     Rp, Cp = maps.shape
     h = float(grid.spacing)
@@ -78,27 +69,15 @@ def build_fft_screening(sten, maps, grid, dtype=np.float32,
     dx = (DC + 0.5 * DR) * h
     dy = DR * (np.sqrt(3) / 2) * h
     rdt = np.float64 if dtype == np.float64 else np.float32
-    if mode == "site":
-        dist = np.sqrt(dx**2 + dy**2)
-        dist[0, 0] = 1.0
-        G = (1.0 / dist)[None, :, :]
-        # Self term: the source cell's own contribution to A at its center,
-        # int_cell (1/r) dA / a = 2 sqrt(pi / a) for a disk of equal area
-        # (the hex cell is within ~1% of its equivalent disk for this
-        # integral). Jw carries J * a, so the kernel value divides by a.
-        a_cell = h * h * np.sqrt(3.0) / 2.0
-        G[0, 0, 0] = 2.0 * np.sqrt(np.pi / a_cell)
-        G = G.astype(rdt)
-    else:
-        dirs = np.asarray(sten.edge_dirs, np.float64)  # (3, 2), length h
-        G = np.empty((3, R2, C2), rdt)
-        for k in range(3):
-            # A[e] = sum_s G[e - s] Jw[s] with G[delta] =
-            # 1/|L(delta) + e_k/2| (ec(e) - pos(s) for delta = e - s).
-            ox, oy = 0.5 * dirs[k]
-            dist = np.sqrt((ox + dx) ** 2 + (oy + dy) ** 2)
-            # Never singular: edge centers are never lattice points.
-            G[k] = (1.0 / dist).astype(rdt)
+    dirs = np.asarray(sten.edge_dirs, np.float64)  # (3, 2), length h
+    G = np.empty((3, R2, C2), rdt)
+    for k in range(3):
+        # A[e] = sum_s G[e - s] Jw[s] with G[delta] =
+        # 1/|L(delta) + e_k/2| (ec(e) - pos(s) for delta = e - s).
+        ox, oy = 0.5 * dirs[k]
+        dist = np.sqrt((ox + dx) ** 2 + (oy + dy) ** 2)
+        # Never singular: edge centers are never lattice points.
+        G[k] = (1.0 / dist).astype(rdt)
     Ghat = np.fft.rfft2(G, axes=(1, 2))
     return FFTScreeningData(
         Ghat_re=jnp.asarray(Ghat.real.astype(rdt)),
@@ -136,36 +115,3 @@ def induced_vector_potential_fft(
     A = jnp.fft.irfft2(prod, s=(2 * Rp, 2 * Cp), axes=(1, 2))
     A = A[:, :Rp, :Cp, :]
     return (A * sten.edge_valid[..., None].astype(A.dtype)).astype(rdtype)
-
-
-def induced_vector_potential_fft_site(
-    fft_data: FFTScreeningData, sten, J_weighted: jax.Array
-) -> jax.Array:
-    """Induced vector potential via the site-to-site kernel plus midpoint
-    interpolation to edge centers (``mode="site"`` of
-    :func:`build_fft_screening`): 4 real transforms per application instead
-    of 8. The induced potential is a smooth (1/r-smeared) field, so the
-    midpoint average of the two endpoint values is second-order accurate;
-    the discrete-kernel difference vs the exact per-class evaluation is
-    O(1%) locally (validated against the pairwise kernel in tests).
-
-    Args / returns: as :func:`induced_vector_potential_fft`.
-    """
-    from ..models.gtdgl_stencil import shift_p
-
-    rdtype = J_weighted.dtype
-    Rp, Cp = J_weighted.shape[:2]
-    Jw = jnp.pad(J_weighted, ((0, Rp), (0, Cp), (0, 0)))
-    Jhat = jnp.fft.rfft2(Jw, axes=(0, 1))          # (2Rp, Cp+1, 2)
-    jr = Jhat.real
-    ji = Jhat.imag
-    gr = fft_data.Ghat_re[0, :, :, None].astype(jr.dtype)
-    gi = fft_data.Ghat_im[0, :, :, None].astype(jr.dtype)
-    prod = jax.lax.complex(gr * jr - gi * ji, gr * ji + gi * jr)
-    A_site = jnp.fft.irfft2(prod, s=(2 * Rp, 2 * Cp), axes=(0, 1))
-    A_site = A_site[:Rp, :Cp, :]
-    A_edge = jnp.stack(
-        [0.5 * (A_site + shift_p(A_site, k)) for k in range(3)]
-    )
-    return (A_edge * sten.edge_valid[..., None].astype(A_edge.dtype)
-            ).astype(rdtype)

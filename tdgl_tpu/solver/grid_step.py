@@ -128,6 +128,12 @@ def make_grid_step_fn(cfg: StepConfig):
                     mu_guess, fixed_iters=None):
         J_s = gs.supercurrent_on_edges(sten, U, pr, pi)
         rhs = gs.poisson_rhs(sten, J_s, dA_dt, neumann_term)
+        # The outer (per-step) solve gets a tolerance-stopped top-up after
+        # its fixed iterations: a no-op on warm-started steady state, but
+        # cold starts / vortex-entry steps can need far more than the fixed
+        # count. Inside the screening fixed point (explicit fixed_iters)
+        # the solve must stay a smooth map, so no top-up there.
+        topup = fixed_iters is None
         if fixed_iters is None:
             fixed_iters = cfg.poisson_fixed_iters
         if cfg.poisson_use_mg:
@@ -146,6 +152,7 @@ def make_grid_step_fn(cfg: StepConfig):
                 maxiter=min(50, cfg.poisson_max_iterations),
                 amg_omega=cfg.amg_omega,
                 fixed_iters=fixed_iters,
+                topup=topup,
             )
         else:
             cg = solve_mu_poisson_grid(
@@ -155,6 +162,7 @@ def make_grid_step_fn(cfg: StepConfig):
                 amg=(amg if cfg.use_amg else None),
                 amg_omega=cfg.amg_omega,
                 fixed_iters=fixed_iters,
+                topup=topup,
             )
         J_n = -gs.gradient_on_edges(sten, cg.x) - dA_dt
         return J_s, cg.x, J_n, cg.iterations, cg.residual_norm

@@ -131,8 +131,10 @@ class SolverOptions:
     # tolerance; warm starts accumulate convergence across iterations, and
     # the final solve's residual feeds the failure flag, so too small a
     # count fails loudly rather than corrupting results. None = auto:
-    # 8 on the stencil backend (deep-MG preconditioner converges in ~3),
-    # 32 on the ELL backend (weaker preconditioner).
+    # 5 on the stencil backend with the deep-MG preconditioner (4 when
+    # poisson_solver='mg'; measured at the 50k benchmark: the screening
+    # fixed point still converges in ~1 iteration/step and the residual
+    # gate stays clear), 32 on the ELL backend (weaker preconditioner).
     screening_cg_iterations: Optional[int] = None
     # Fixed-point accelerator for the screening iteration: "anderson"
     # (depth-1 Anderson/secant acceleration — converges in ~10-15 iterations
@@ -151,7 +153,14 @@ class SolverOptions:
     # max(screening_tolerance, floor): auto = 5e-4 (global norm) / 3e-3
     # (per-edge norm) at float32, 0 at float64.
     screening_tolerance_floor: Optional[float] = None
-    poisson_tolerance: float = 1e-6
+    # Relative residual tolerance of the mu solve. None = auto: 3e-5 at
+    # float32, 1e-6 at float64. Measured on a transport workload with the
+    # full float64 reference (docs/perf_notes.md): psi AND mu errors vs
+    # float64 are identical for mu tolerances 3e-6, 1e-5, and 3e-5 (~5e-5 /
+    # ~2e-5 relative — float32 rounding of the inputs dominates), so
+    # tighter settings only buy extra solver iterations. Explicit values
+    # are always honored (floored at 50*eps of the working precision).
+    poisson_tolerance: Optional[float] = None
     poisson_max_iterations: int = 1500
     # If set (> 0), run exactly this many CG iterations per mu solve
     # (lax.fori_loop with no convergence branch) instead of tolerance-stopped

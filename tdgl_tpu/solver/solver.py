@@ -157,6 +157,37 @@ def validate_terminal_currents(
         check(terminal_currents)
 
 
+def _enable_persistent_compilation_cache() -> None:
+    """Point jax's persistent compilation cache at a per-user directory
+    (unless the user configured one already, or opted out with
+    TDGL_TPU_NO_COMPILE_CACHE=1).
+
+    The production chunk program — thousands of TDGL steps fused around a
+    deep-multigrid solve — takes minutes to compile on TPU the first time;
+    with the cache, every later process (same config/shapes) loads it in
+    seconds. This is the single biggest first-run-UX lever (see
+    docs/perf_notes.md).
+    """
+    import os
+
+    if os.environ.get("TDGL_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured one
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "tdgl_tpu",
+                         "jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # never let cache plumbing break a solve
+        logger.debug("Could not enable the persistent compilation cache.",
+                     exc_info=True)
+
+
 class TDGLSolver:
     """Solves a TDGL model for a given device.
 
@@ -188,6 +219,7 @@ class TDGLSolver:
         options.validate()
         self.terminal_currents = terminal_currents
         self.seed_solution = seed_solution
+        _enable_persistent_compilation_cache()
 
         if device.mesh is None:
             raise ValueError(
@@ -528,7 +560,11 @@ class TDGLSolver:
                 ))
 
         dt_max = options.dt_max if options.adaptive else options.dt_init
-        poisson_tol = float(options.poisson_tolerance)
+        poisson_tol = (
+            float(options.poisson_tolerance)
+            if options.poisson_tolerance is not None
+            else (3e-5 if options.dtype == "float32" else 1e-6)
+        )
         screening_global_norm = (
             options.screening_error_norm == "global"
             or (options.screening_error_norm == "auto"
@@ -585,7 +621,7 @@ class TDGLSolver:
                 # start, so the fixed inner-solve count inside the
                 # screening loop is smaller on the 'mg' path.
                 else (4 if options.poisson_solver == "mg"
-                      else 8 if self.structured else 32)
+                      else 5 if self.structured else 32)
             ),
             screening_tolerance=screening_tol,
             screening_step_size=float(options.screening_step_size),

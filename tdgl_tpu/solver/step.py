@@ -230,13 +230,17 @@ def make_step_fn(cfg: StepConfig):
         """
         J_s = gtdgl.supercurrent_on_edges(op, U, psi)
         rhs = gtdgl.poisson_rhs(op, J_s, dA_dt, mu_boundary)
+        # Outer solve: fixed iterations + tolerance-stopped top-up (no-op
+        # in steady state, rescues cold starts). Screening's inner solves
+        # (explicit fixed_iters) must stay smooth: no top-up.
+        topup = fixed_iters is None
         if fixed_iters is None:
             fixed_iters = cfg.poisson_fixed_iters
         cg = solve_mu_poisson(
             op, rhs, mu_guess,
             tol=cfg.poisson_tolerance, maxiter=cfg.poisson_max_iterations,
             amg=(amg if cfg.use_amg else None), amg_omega=cfg.amg_omega,
-            fixed_iters=fixed_iters,
+            fixed_iters=fixed_iters, topup=topup,
         )
         J_n = -gtdgl.gradient_on_edges(op, cg.x) - dA_dt
         return J_s, cg.x, J_n, cg.iterations, cg.residual_norm

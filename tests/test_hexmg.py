@@ -64,7 +64,9 @@ def test_f32_convergence(poisson_problem):
                    maxiter=100, precond=lambda r: apply_mg(mg, r),
                    project_fn=project)
     assert int(res.iterations) <= 10
-    assert float(res.residual_norm) < 3e-6
+    # The requested 3e-6 clamps to the f32 precision floor 50*eps ~ 6e-6
+    # (see cg_solve); assert against the floor, not the request.
+    assert float(res.residual_norm) < 6e-6
 
 
 def test_f64_deep_tolerance(poisson_problem):

