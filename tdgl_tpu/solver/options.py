@@ -131,10 +131,12 @@ class SolverOptions:
     # tolerance; warm starts accumulate convergence across iterations, and
     # the final solve's residual feeds the failure flag, so too small a
     # count fails loudly rather than corrupting results. None = auto:
-    # 5 on the stencil backend with the deep-MG preconditioner (4 when
-    # poisson_solver='mg'; measured at the 50k benchmark: the screening
-    # fixed point still converges in ~1 iteration/step and the residual
-    # gate stays clear), 32 on the ELL backend (weaker preconditioner).
+    # on the stencil backend 5 at float32 / 8 at float64 (4 when
+    # poisson_solver='mg'): measured at the 50k benchmark, 5 keeps the
+    # f32 screening fixed point converging in ~1 iteration/step with the
+    # residual gate clear, while float64 runs chase ~1e-8 inner residuals
+    # and need the deeper count; 32 on the ELL backend (weaker
+    # preconditioner).
     screening_cg_iterations: Optional[int] = None
     # Fixed-point accelerator for the screening iteration: "anderson"
     # (depth-1 Anderson/secant acceleration — converges in ~10-15 iterations

@@ -145,7 +145,9 @@ class StepConfig:
     # device arrays travel as a traced argument; only the static flag and
     # smoothing weight live here.
     use_amg: bool = False
-    amg_omega: float = 0.9
+    # Scalar damping, or a tuple of per-sweep dampings (Chebyshev pairs);
+    # see ops.hexmg.make_hexmg_apply.
+    amg_omega: object = 0.9
     # Globally-normalized screening error (f32 path; see SolverOptions
     # ``screening_error_norm``) instead of the reference's per-edge ratio.
     screening_global_error_norm: bool = False
