@@ -176,13 +176,16 @@ class SolverOptions:
     # tolerance-stopped setting's own f32 floor), tolerance-stopped
     # everywhere else. 0 = force tolerance-stopped CG.
     poisson_fixed_iterations: Optional[int] = None
-    # Warm-start guess for the mu-Poisson solve: "extrapolate" (default)
-    # uses the linear predictor ``2 mu_n - mu_{n-1}`` — the time-lag (smooth)
-    # component of the warm-start error cancels, leaving high-frequency
-    # error that multigrid kills fastest (measured: ~4x smaller residual
-    # after 2 MG-CG iterations than warm-starting from mu_n alone);
-    # "previous" warm-starts from mu_n (round-2 behavior).
-    poisson_warm_start: str = "extrapolate"
+    # Warm-start guess for the mu-Poisson solve: "previous" (default)
+    # warm-starts from mu_n; "extrapolate" uses the linear predictor
+    # ``2 mu_n - mu_{n-1}``. Measured on the 50k benchmark: in smooth,
+    # well-resolved regimes extrapolation cuts the warm-start residual
+    # ~4x, but in marginally-resolved regimes (dense vortex lattice at
+    # dt_max) successive mu changes decorrelate and extrapolation
+    # AMPLIFIES the residual 1.6x (quadratic: 2.8x) — and at the float32
+    # tolerance both guesses converge in ~2 iterations in smooth regimes
+    # anyway, so "previous" is the better default.
+    poisson_warm_start: str = "previous"
     # mu-solve algorithm on the stencil backend: "cg" (tolerance-stopped
     # MG-preconditioned CG, the default) or "mg" (tolerance-stopped
     # multigrid-Richardson — cheaper per iteration, no CG acceleration;

@@ -703,7 +703,7 @@ class TDGLSolver:
         if (self.structured and self._use_amg
                 and options.dtype == "float32"
                 and options.poisson_solver == "cg"):
-            return 2 if options.poisson_warm_start == "extrapolate" else 3
+            return 2
         return None
 
     @staticmethod

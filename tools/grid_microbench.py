@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = ("stencil", "vcycle", "cg2", "cg3", "mgr2", "mgr3",
-            "fft_screen", "fft_screen_site", "psi_update")
+            "fft_screen", "psi_update")
 
 
 def main():
@@ -166,7 +166,7 @@ def main():
     if "mgr3" in chosen:
         timed("mgr3", solve_variant("mgr", 3), state.mu, args.iters)
 
-    if "fft_screen" in chosen or "fft_screen_site" in chosen:
+    if "fft_screen" in chosen:
         from tdgl_tpu.ops.fft_screening import (
             build_fft_screening,
             induced_vector_potential_fft,
@@ -175,11 +175,11 @@ def main():
         fftd = build_fft_screening(solver.host_sten, maps,
                                    device.mesh.grid)
         Jw0 = jnp.stack([r0, -r0], axis=-1)
-        if "fft_screen" in chosen:
-            def f_fn(Jw):
-                A = induced_vector_potential_fft(fftd, sten, Jw)
-                return Jw + eps * A[0]
-            timed("fft_screen", f_fn, Jw0, max(20, args.iters // 5))
+
+        def f_fn(Jw):
+            A = induced_vector_potential_fft(fftd, sten, Jw)
+            return Jw + eps * A[0]
+        timed("fft_screen", f_fn, Jw0, max(20, args.iters // 5))
 
 
 if __name__ == "__main__":
