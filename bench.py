@@ -311,7 +311,7 @@ def _run_screened_child(target: int) -> dict:
         proc = subprocess.run(
             [sys.executable, __file__, "--measure-screened", str(target),
              "2"],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1500,
         )
     except subprocess.TimeoutExpired:
         return {"outcome": "timeout"}
@@ -344,8 +344,11 @@ def main():
 
     attempts_log = []
     last_sites = 0
-    for target, attempts, tmo in ((50_000, 3, 900), (25_000, 2, 700),
-                                  (10_000, 2, 600)):
+    # Child timeouts budget for a cold compile (~5-9 min for the deep-MG
+    # chunk program) on top of meshing and the measured region; warm runs
+    # (persistent compilation cache) finish in ~1 min.
+    for target, attempts, tmo in ((50_000, 3, 2100), (25_000, 2, 1200),
+                                  (10_000, 2, 900)):
         last_sites = target
         try:
             proc = subprocess.run(
