@@ -518,8 +518,16 @@ def make_grid_chunk_fn(cfg: StepConfig, chunk_size: int):
             )
             return new_carry, outputs
 
+        # Scan unrolling lets XLA interleave independent work of adjacent
+        # steps (reductions vs elementwise); >1 trades compile time for
+        # pipelining. Default 1; override for experiments via
+        # TDGL_SCAN_UNROLL.
+        import os
+
+        unroll = int(os.environ.get("TDGL_SCAN_UNROLL", "1"))
         final_carry, outputs = jax.lax.scan(scan_body, carry_of(state),
-                                            xs=None, length=chunk_size)
+                                            xs=None, length=chunk_size,
+                                            unroll=unroll)
         final = state_of(final_carry)
         # Chunk-constant fields dropped from the carry must be refreshed at
         # the final time when they are traced functions of t.
