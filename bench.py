@@ -180,10 +180,12 @@ def measure_screened(target_sites: int, attempts: int):
     """Screened throughput at the same mesh scale (the reference treats
     screening as a first-class solve mode, ``tdgl/solver/solver.py:522-578``).
 
-    Round-2 operating point: 0.5 mT, lambda=2, screening tolerance 1e-3
-    (>= the f32 precision floor), dt_max 1e-3, FFT lattice-convolution
-    kernel, Anderson fixed point. Returns ``(n_sites, steps_per_sec or
-    None, notes)``.
+    Operating point: 0.5 mT, lambda=2, screening tolerance 1e-3 (>= the
+    f32 precision floor), FFT lattice-convolution kernel, Anderson fixed
+    point — and, since round 3, dt_max 1e-2, the SAME adaptive-step cap as
+    the unscreened benchmark (round 2 needed dt_max 1e-3; the stronger
+    multigrid + Anderson handle the full step size). Returns
+    ``(n_sites, steps_per_sec or None, notes)``.
     """
     import numpy as np
 
@@ -198,7 +200,7 @@ def measure_screened(target_sites: int, attempts: int):
     options = tdgl.SolverOptions(
         solve_time=1e9,
         dt_init=1e-4,
-        dt_max=1e-3,
+        dt_max=1e-2,
         save_every=chunk_s,
         steps_per_chunk=chunk_s,
         field_units="mT",
