@@ -59,7 +59,8 @@ def spatial_spec(shape, Rp: int, Cp: int, n_dev: int):
     return P()
 
 
-def shard_solver_spatially(solver, mesh: Optional[Mesh] = None):
+def shard_solver_spatially(solver, mesh: Optional[Mesh] = None, *,
+                           allow_replicated: bool = False):
     """Re-place a structured :class:`TDGLSolver`'s device operands so its
     compiled chunk executes SPMD across ``mesh`` (grid rows split over
     devices; everything else replicated).
@@ -74,6 +75,14 @@ def shard_solver_spatially(solver, mesh: Optional[Mesh] = None):
     state, outputs, exported = solver.chunk_fn(state)
     ```
 
+    Raises:
+        ValueError: when the grid is too small to give every device at
+            least one 8-row tile, so *nothing* would shard — the solve
+            would silently replicate on every device (n_dev x the memory,
+            zero speedup). Pass ``allow_replicated=True`` to accept the
+            replicated placement anyway (e.g. for testing the placement
+            machinery on tiny problems).
+
     Returns:
         ``shard(tree)`` — places any solver-state pytree with the same
         row-sharding policy.
@@ -87,6 +96,20 @@ def shard_solver_spatially(solver, mesh: Optional[Mesh] = None):
         mesh = spatial_device_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
     Rp, Cp = solver.maps.shape
+    if n_dev > 1 and spatial_spec((Rp, Cp), Rp, Cp, n_dev) == P():
+        msg = (
+            f"Grid ({Rp}, {Cp}) is too small to shard over {n_dev} devices:"
+            f" row-sharding needs Rp >= 8 * n_dev = {8 * n_dev} so every"
+            " device gets at least one 8-row tile. Every array would be"
+            " REPLICATED (n_dev x the memory, no speedup). Use a finer mesh,"
+            " fewer devices, or pass allow_replicated=True to proceed"
+            " anyway."
+        )
+        if not allow_replicated:
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
 
     def place(tree):
         def put(leaf):

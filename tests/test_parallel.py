@@ -119,6 +119,39 @@ def test_sweep_validation(small_box_device):
                     current_scales=[1])
 
 
+def test_spatial_sharding_refuses_silent_replication():
+    """A grid too small to give every device an 8-row tile must raise —
+    not silently replicate (n_dev x memory, zero speedup) — unless the
+    caller explicitly opts in with allow_replicated=True."""
+    import jax
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+    from tdgl_tpu.parallel import shard_solver_spatially, spatial_device_mesh
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1)
+    film = tdgl.Polygon("film", points=box(8)).resample(80)
+    device = tdgl.Device("tiny", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=150, structured=True)
+    options = tdgl.SolverOptions(
+        solve_time=1.0, dt_init=1e-4, save_every=100,
+        field_units="mT", current_units="uA",
+    )
+    solver = TDGLSolver(device, options, applied_vector_potential=0.05)
+    Rp, _ = solver.maps.shape
+    mesh = spatial_device_mesh(jax.devices())
+    assert Rp < 8 * 8, "fixture grid unexpectedly large enough to shard"
+    with pytest.raises(ValueError, match="REPLICATED"):
+        shard_solver_spatially(solver, mesh)
+    # Explicit opt-in still works and produces a usable (replicated) solve.
+    place = shard_solver_spatially(solver, mesh, allow_replicated=True)
+    state = place(solver._initial_state())
+    state, outputs, _ = solver.chunk_fn(state)
+    assert state.psi_r.sharding.spec == jax.sharding.PartitionSpec()
+
+
 def test_spatial_sharding_parity():
     """One structured problem sharded across the 8-device virtual mesh
     (grid rows split; XLA inserts the halo exchanges) produces the same
