@@ -76,6 +76,9 @@ def measure(target_sites: int, attempts: int):
     ptol = os.environ.get("TDGL_BENCH_PTOL")
     if ptol:
         solver_kwargs.update(poisson_tolerance=float(ptol))
+    pallas = os.environ.get("TDGL_BENCH_PALLAS")
+    if pallas:  # "0" forces the roll-chain path, "1" forces fused kernels
+        solver_kwargs.update(pallas_step=bool(int(pallas)))
     poisson = os.environ.get("TDGL_BENCH_POISSON", "")
     if poisson == "cg_tol":
         solver_kwargs.update(poisson_fixed_iterations=0)

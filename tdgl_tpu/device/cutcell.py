@@ -172,14 +172,17 @@ def cut_cell_corrections(
     if len(ring_sites) == 0:
         return areas, duals
 
-    def polygon_planes(point):
-        """(w, b) rows of nearby film-boundary half-planes w.x + b >= 0."""
-        cand = seg_tree.query_ball_point(point, r_reach + seg_pad)
+    def polygon_planes(point, reach):
+        """(w, b) rows of film-boundary half-planes w.x + b >= 0 within
+        ``reach`` of ``point``. ``reach`` must cover the full extent of
+        the geometry being clipped (the cell / facet parameter range is
+        ±box_r about ``point``, so planes out to box_r participate)."""
+        cand = seg_tree.query_ball_point(point, reach + seg_pad)
         if not cand:
             return np.zeros((0, 2)), np.zeros(0)
         cand = np.asarray(cand)
         d = _point_segment_distance(point[None], p0[cand], p1[cand])[0]
-        keep = cand[d <= r_reach]
+        keep = cand[d <= reach]
         w = seg_n[keep]
         b = -np.einsum("md,md->m", w, p0[keep])
         return w, b
@@ -201,7 +204,7 @@ def cut_cell_corrections(
             if len(cell) == 0:
                 break
         if len(cell):
-            w_all, b_all = polygon_planes(sites[s])
+            w_all, b_all = polygon_planes(sites[s], box_r)
             for w, b in zip(w_all, b_all):
                 cell = _clip_poly_halfplane(cell, w, float(b))
                 if len(cell) == 0:
@@ -245,7 +248,10 @@ def cut_cell_corrections(
             if hi <= lo:
                 break
         if hi > lo:
-            w_all, b_all = polygon_planes(mid)
+            # The facet parameter range spans ±box_r about the midpoint,
+            # so boundary planes out to box_r must participate (a segment
+            # 1.25h-1.6h away can still clip the facet's far end).
+            w_all, b_all = polygon_planes(mid, box_r)
             for w, b in zip(w_all, b_all):
                 c0 = float(w @ mid) + float(b)
                 c1 = float(w @ n_hat)

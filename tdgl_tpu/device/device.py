@@ -456,6 +456,49 @@ class Device:
             "Generated mesh with %d sites and %d elements in %.3f s",
             len(points), len(triangles), time.perf_counter() - t0,
         )
+        self._validate_terminals_on_mesh(structured=structured)
+
+    def _validate_terminals_on_mesh(self, structured: bool) -> None:
+        """Fail LOUDLY at mesh time when a terminal polygon did not map
+        cleanly onto the generated mesh boundary.
+
+        On a structured lattice the film boundary is a staircase of the
+        lattice spacing ``h``: a terminal polygon narrower than ~``h``
+        can capture no boundary sites at all, and two nearby terminals
+        can staircase into the *same* boundary sites. Both were silent
+        failure modes before (the solver only caught the empty case, at
+        construction time, with no explanation).
+        """
+        if not self.terminals or self.mesh is None:
+            return
+        spacing = None
+        if self.mesh.grid is not None:
+            spacing = self.mesh.grid.spacing * self.layer.coherence_length
+        hint = (
+            (f" On a structured mesh the boundary is a staircase of the"
+             f" lattice spacing (h = {spacing:.3g} {self.length_units});"
+             " terminal polygons must be wider than one lattice spacing"
+             " to reliably capture boundary sites. Widen the terminal,"
+             " use a finer mesh (larger min_points / smaller"
+             " max_edge_length), or mesh with structured=False.")
+            if structured else ""
+        )
+        infos = self.terminal_info()
+        for info in infos:
+            if len(info.site_indices) == 0 or info.length == 0:
+                raise ValueError(
+                    f"Terminal {info.name!r} contains no boundary mesh"
+                    f" sites/edges of the generated mesh.{hint}"
+                )
+        for i, a in enumerate(infos):
+            for b in infos[i + 1:]:
+                shared = np.intersect1d(a.site_indices, b.site_indices)
+                if len(shared):
+                    raise ValueError(
+                        f"Terminals {a.name!r} and {b.name!r} overlap on"
+                        f" {len(shared)} boundary mesh site(s) of the"
+                        f" generated mesh.{hint}"
+                    )
 
     def _attach_grid(self, grid) -> None:
         """Attach (dimensionless) grid metadata to the mesh."""

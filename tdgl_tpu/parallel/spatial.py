@@ -95,6 +95,20 @@ def shard_solver_spatially(solver, mesh: Optional[Mesh] = None, *,
     if mesh is None:
         mesh = spatial_device_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
+    if getattr(solver.cfg, "use_pallas_step", False):
+        # A pallas_call cannot be auto-partitioned by XLA's SPMD
+        # partitioner; rebuild the chunk program on the roll-chain XLA
+        # formulation (identical physics) so the sharded run stays SPMD.
+        import dataclasses
+
+        from ..solver.grid_step import make_grid_chunk_fn
+
+        solver.cfg = dataclasses.replace(solver.cfg, use_pallas_step=False)
+        solver._raw_chunk_fn = make_grid_chunk_fn(solver.cfg,
+                                                  solver.chunk_size)
+        solver.chunk_fn = lambda state: solver._raw_chunk_fn(
+            solver.sten, solver._screening_weights, solver.amg, state
+        )
     Rp, Cp = solver.maps.shape
     if n_dev > 1 and spatial_spec((Rp, Cp), Rp, Cp, n_dev) == P():
         msg = (

@@ -91,11 +91,21 @@ def make_grid_step_fn(cfg: StepConfig):
     probe_ix = (np.asarray(cfg.probe_ix, dtype=np.int32)
                 if cfg.probe_ix else np.zeros((0,), np.int32))
 
+    def euler_psi(sten, U, pr, pi, old_sq, mu, epsilon, dt):
+        if cfg.use_pallas_step:
+            from ..ops.pallas_step import fused_psi_update
+
+            new_r, new_i, new_sq, ok = fused_psi_update(
+                cfg.gamma, cfg.u, sten, U, pr, pi, mu, epsilon, dt
+            )
+            return gs.PsiUpdateResult(new_r, new_i, new_sq, ok)
+        return gs.implicit_euler_psi(
+            sten, U, pr, pi, old_sq, mu, epsilon, cfg.gamma, cfg.u, dt
+        )
+
     def euler_with_retries(sten, rdtype, U, pr, pi, old_sq, mu,
                            epsilon, dt0):
-        res0 = gs.implicit_euler_psi(
-            sten, U, pr, pi, old_sq, mu, epsilon, cfg.gamma, cfg.u, dt0
-        )
+        res0 = euler_psi(sten, U, pr, pi, old_sq, mu, epsilon, dt0)
         if not cfg.adaptive:
             return (res0.psi_r, res0.psi_i, res0.abs_sq_psi, dt0,
                     jnp.logical_not(res0.ok))
@@ -108,10 +118,7 @@ def make_grid_step_fn(cfg: StepConfig):
         def body(carry):
             dt, r_, i_, sq_, ok, tries = carry
             dt_try = jnp.where(ok, dt, dt * cfg.adaptive_time_step_multiplier)
-            res = gs.implicit_euler_psi(
-                sten, U, pr, pi, old_sq, mu, epsilon, cfg.gamma,
-                cfg.u, dt_try
-            )
+            res = euler_psi(sten, U, pr, pi, old_sq, mu, epsilon, dt_try)
             keep = lambda old, new: jnp.where(ok, old, new)
             return (dt_try, keep(r_, res.psi_r), keep(i_, res.psi_i),
                     keep(sq_, res.abs_sq_psi), jnp.logical_or(ok, res.ok),
@@ -126,8 +133,17 @@ def make_grid_step_fn(cfg: StepConfig):
 
     def observables(sten, amg, U, pr, pi, dA_dt, neumann_term,
                     mu_guess, fixed_iters=None):
-        J_s = gs.supercurrent_on_edges(sten, U, pr, pi)
-        rhs = gs.poisson_rhs(sten, J_s, dA_dt, neumann_term)
+        if cfg.use_pallas_step and not cfg.include_screening:
+            # Fused J_s+divergence (J_s never materializes in HBM). The
+            # screened path still needs the edge currents themselves (for
+            # the induced-potential kernel), so it keeps the explicit form.
+            from ..ops.pallas_step import fused_poisson_rhs
+
+            J_s = gs.supercurrent_on_edges(sten, U, pr, pi)
+            rhs = fused_poisson_rhs(sten, U, pr, pi, dA_dt, neumann_term)
+        else:
+            J_s = gs.supercurrent_on_edges(sten, U, pr, pi)
+            rhs = gs.poisson_rhs(sten, J_s, dA_dt, neumann_term)
         # The outer (per-step) solve gets a tolerance-stopped top-up after
         # its fixed iterations: a no-op on warm-started steady state, but
         # cold starts / vortex-entry steps can need far more than the fixed

@@ -155,13 +155,15 @@ class SolverOptions:
     # max(screening_tolerance, floor): auto = 5e-4 (global norm) / 3e-3
     # (per-edge norm) at float32, 0 at float64.
     screening_tolerance_floor: Optional[float] = None
-    # Relative residual tolerance of the mu solve. None = auto: 3e-5 at
-    # float32, 1e-6 at float64. Measured on a transport workload with the
-    # full float64 reference (docs/perf_notes.md): psi AND mu errors vs
-    # float64 are identical for mu tolerances 3e-6, 1e-5, and 3e-5 (~5e-5 /
-    # ~2e-5 relative — float32 rounding of the inputs dominates), so
-    # tighter settings only buy extra solver iterations. Explicit values
-    # are always honored (floored at 50*eps of the working precision).
+    # Relative residual tolerance of the mu solve. None = auto: 1e-4 at
+    # float32, 1e-6 at float64. Measured against full float64 references
+    # on transport AND vortex-dynamics workloads (tools/tol_study.py,
+    # docs/perf_notes.md): psi and mu errors vs float64 are identical for
+    # mu tolerances from 3e-6 all the way to 1e-3 (float32 rounding of the
+    # inputs dominates both), so tightening below 1e-4 only buys extra
+    # solver iterations (~1 full MG-CG iteration per factor ~20 in the
+    # benchmark's hard window). Explicit values are always honored
+    # (floored at 50*eps of the working precision).
     poisson_tolerance: Optional[float] = None
     poisson_max_iterations: int = 1500
     # If set (> 0), run exactly this many CG iterations per mu solve
@@ -170,11 +172,13 @@ class SolverOptions:
     # starts a small fixed count typically tracks the tolerance-stopped
     # solution closely. The final residual still feeds the solver's failure
     # flag, so an insufficient count fails loudly, not silently.
-    # None = auto: 2 iterations on the float32 structured deep-multigrid
-    # path (measured: with the extrapolated warm start, 2 MG-CG iterations
-    # land at ~2e-6 relative residual on the 50k benchmark — below the
-    # tolerance-stopped setting's own f32 floor), tolerance-stopped
-    # everywhere else. 0 = force tolerance-stopped CG.
+    # None = auto: 2 fixed iterations (plus the tolerance-stopped top-up)
+    # on the float32 structured deep-multigrid path — the fixed phase
+    # covers steady/smooth steps and the top-up supplies what hard
+    # (vortex-entry / dense-lattice) steps still need, measured ~3 total
+    # iterations/step in the 50k benchmark's hard window with the default
+    # "previous" warm start. Tolerance-stopped everywhere else. 0 = force
+    # tolerance-stopped CG.
     poisson_fixed_iterations: Optional[int] = None
     # Warm-start guess for the mu-Poisson solve: "previous" (default)
     # warm-starts from mu_n; "extrapolate" uses the linear predictor
@@ -206,6 +210,23 @@ class SolverOptions:
     amg_coarsening: Optional[int] = None  # aggregate size (None = auto)
     steps_per_chunk: Optional[int] = None
     profile_dir: Optional[str] = None  # write a jax.profiler trace here
+    # Fused single-pass Pallas kernels for the stencil step body (psi
+    # update, Poisson RHS): every input plane is read from HBM exactly
+    # once instead of once per roll. None = auto (enabled on TPU for
+    # structured float32 solves whose grid fits VMEM as a single block);
+    # True/False force. Physics identical (parity-pinned in
+    # tests/test_pallas_step.py). Incompatible with spatial sharding —
+    # shard_solver_spatially rebuilds the chunk program without it.
+    pallas_step: Optional[bool] = None
+    # Enable jax's persistent compilation cache (per-user directory,
+    # ~/.cache/tdgl_tpu/jax_cache) when constructing a solver: the
+    # production chunk program takes minutes to compile on TPU cold, and
+    # seconds warm. NOTE this mutates process-wide jax config
+    # (jax_compilation_cache_dir) as a side effect — set False when
+    # embedding tdgl_tpu in an application that manages its own jax cache
+    # config (a user-configured jax cache dir is always left untouched;
+    # env opt-out: TDGL_TPU_NO_COMPILE_CACHE=1).
+    compilation_cache: bool = True
 
     def validate(self) -> None:
         if self.dt_init > self.dt_max:

@@ -219,7 +219,8 @@ class TDGLSolver:
         options.validate()
         self.terminal_currents = terminal_currents
         self.seed_solution = seed_solution
-        _enable_persistent_compilation_cache()
+        if options.compilation_cache:
+            _enable_persistent_compilation_cache()
 
         if device.mesh is None:
             raise ValueError(
@@ -563,7 +564,7 @@ class TDGLSolver:
         poisson_tol = (
             float(options.poisson_tolerance)
             if options.poisson_tolerance is not None
-            else (3e-5 if options.dtype == "float32" else 1e-6)
+            else (1e-4 if options.dtype == "float32" else 1e-6)
         )
         screening_global_norm = (
             options.screening_error_norm == "global"
@@ -639,10 +640,11 @@ class TDGLSolver:
             poisson_use_mg=(options.poisson_solver == "mg"
                             and self.structured),
             # The smoother damping is tuned per preconditioner: for the
-            # deep SA hierarchy (hexmg), a Chebyshev pair of Jacobi sweeps
-            # over the upper half-spectrum — measured V-cycle contraction
-            # 0.09 vs 0.30 for the old single 0.9-damped sweep; for the
-            # ELL two-level block AMG, its validated scalar 0.6.
+            # deep SA hierarchy (hexmg), a single 0.8-damped Jacobi sweep
+            # (measured V-cycle contraction ~0.21; a Chebyshev two-sweep
+            # pair reaches 0.09 but its extra applies cost more than the
+            # iteration it saves — rejected, see docs/perf_notes.md); for
+            # the ELL two-level block AMG, its validated scalar 0.6.
             amg_omega=(0.8 if self.structured else 0.6),
             # On the stencil backend probes are flat padded-grid indices.
             probe_ix=(
@@ -655,6 +657,7 @@ class TDGLSolver:
             eps_fn=eps_fn,
             mu_boundary_fn=mu_boundary_fn,
             use_amg=self._use_amg,
+            use_pallas_step=self._resolve_pallas_step(options),
         )
         if self.host_dynamic:
             self.chunk_size = 1
@@ -688,15 +691,37 @@ class TDGLSolver:
                 self.op, self._screening_weights, self.amg, state
             )
 
+    def _resolve_pallas_step(self, options: SolverOptions) -> bool:
+        """Resolve ``SolverOptions.pallas_step`` (None = auto).
+
+        Auto enables the fused Pallas step kernels when (a) the solve runs
+        the structured stencil backend on a real TPU (off-TPU the kernels
+        would run interpreted — correct but slow; explicit True still
+        works and is what the parity tests use), and (b) the padded grid
+        fits VMEM as a single block (the kernels are untiled; ~30 f32
+        planes of working set against a ~16 MB VMEM budget).
+        """
+        if options.pallas_step is not None:
+            return bool(options.pallas_step)
+        if not self.structured or options.dtype != "float32":
+            return False
+        if self._exec_device is not None:  # host-fenced solve
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        Rp, Cp = self.maps.shape
+        return 30 * Rp * Cp * 4 <= 14 * 1024 * 1024
+
     def _poisson_fixed_iters(self, options: SolverOptions) -> Optional[int]:
         """Resolve ``poisson_fixed_iterations`` (None = auto, 0 = forced
-        tolerance-stopped; see SolverOptions). Auto picks a fixed 2-iteration
-        MG-CG solve on the float32 structured deep-multigrid path — measured
-        at ~2e-6 worst-case relative residual with the extrapolated warm
-        start on the 50k benchmark, i.e. at the tolerance-stopped solve's
-        own f32 floor — with 3 iterations when the plain warm start is
-        selected. The per-step residual gate still fails loudly if a
-        geometry needs more."""
+        tolerance-stopped; see SolverOptions). Auto picks a fixed
+        2-iteration MG-CG solve on the float32 structured deep-multigrid
+        path regardless of warm-start mode: the fixed phase covers the
+        easy/steady steps, and the tolerance-stopped top-up supplies
+        whatever the hard (vortex-entry / dense-lattice) steps still need
+        — measured ~3 total iterations/step in the 50k benchmark's hard
+        window with the default plain warm start. The per-step residual
+        gate still fails loudly if a geometry needs more."""
         pf = options.poisson_fixed_iterations
         if pf is not None:
             return int(pf) if pf > 0 else None

@@ -171,6 +171,14 @@ class StepConfig:
     # tolerance-stopped CG the solution is unchanged; with fixed-iteration
     # solves it lands ~4x closer (measured).
     poisson_predictor: bool = False
+    # Stencil backend: fused single-pass Pallas kernels for the psi update
+    # and the Poisson RHS (ops.pallas_step) instead of the roll-chain XLA
+    # formulation. Each input plane is read from HBM exactly once; physics
+    # identical (parity-pinned). Requires the grid to fit VMEM as a single
+    # block (fine at the (256, 384) benchmark scale) and is incompatible
+    # with spatial sharding (a pallas_call cannot be auto-partitioned), so
+    # shard_solver_spatially rebuilds the chunk without it.
+    use_pallas_step: bool = False
 
 
 def make_step_fn(cfg: StepConfig):

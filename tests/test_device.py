@@ -164,3 +164,34 @@ def test_plot(device):
     plt.close(fig)
     ax2 = device.mesh.plot()
     plt.close(ax2.get_figure())
+
+
+def test_thin_terminal_structured_mesh_raises():
+    """A terminal polygon narrower than the lattice spacing fails loudly
+    at MESH time on a structured lattice (the staircase boundary cannot
+    reliably capture it), with an actionable message."""
+    layer = Layer(london_lambda=2, coherence_length=1.0, thickness=0.1,
+                  conductivity=10.0)
+    film = Polygon("film", points=box(12, 5))
+    # Lattice spacing at this density is ~0.7 um; a 0.05-um-wide terminal
+    # cannot span a staircase step.
+    source = Polygon("source", points=box(0.05, 5, center=(-6, 0)))
+    drain = Polygon("drain", points=box(0.05, 5, center=(6, 0)))
+    dev = Device("thin", layer=layer, film=film,
+                 terminals=[source, drain], length_units="um")
+    with pytest.raises(ValueError, match="lattice spacing"):
+        dev.make_mesh(min_points=400, structured=True)
+
+
+def test_overlapping_staircase_terminals_raise():
+    """Two terminals that staircase onto the same boundary sites fail
+    loudly at mesh time instead of silently sharing current sites."""
+    layer = Layer(london_lambda=2, coherence_length=1.0, thickness=0.1,
+                  conductivity=10.0)
+    film = Polygon("film", points=box(12, 5))
+    a = Polygon("a", points=box(1.5, 5, center=(-5.8, 0)))
+    b = Polygon("b", points=box(1.5, 5, center=(-5.0, 0)))
+    dev = Device("overlap", layer=layer, film=film,
+                 terminals=[a, b], length_units="um")
+    with pytest.raises(ValueError, match="overlap"):
+        dev.make_mesh(min_points=400, structured=True)
