@@ -95,20 +95,14 @@ def shard_solver_spatially(solver, mesh: Optional[Mesh] = None, *,
     if mesh is None:
         mesh = spatial_device_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
+    import dataclasses
+
+    cfg_updates = {}
     if getattr(solver.cfg, "use_pallas_step", False):
         # A pallas_call cannot be auto-partitioned by XLA's SPMD
         # partitioner; rebuild the chunk program on the roll-chain XLA
         # formulation (identical physics) so the sharded run stays SPMD.
-        import dataclasses
-
-        from ..solver.grid_step import make_grid_chunk_fn
-
-        solver.cfg = dataclasses.replace(solver.cfg, use_pallas_step=False)
-        solver._raw_chunk_fn = make_grid_chunk_fn(solver.cfg,
-                                                  solver.chunk_size)
-        solver.chunk_fn = lambda state: solver._raw_chunk_fn(
-            solver.sten, solver._screening_weights, solver.amg, state
-        )
+        cfg_updates["use_pallas_step"] = False
     Rp, Cp = solver.maps.shape
     if n_dev > 1 and spatial_spec((Rp, Cp), Rp, Cp, n_dev) == P():
         msg = (
@@ -151,11 +145,40 @@ def shard_solver_spatially(solver, mesh: Optional[Mesh] = None, *,
             level_arrays.append(placed)
         solver.amg = HexMGData(level_arrays, solver.amg.offsets,
                                solver.amg.shapes, solver.amg.p_omega)
-    # Screening weights / FFT spectra: weights shard, spectra replicate
-    # (the FFT path all-gathers anyway; spectra are modest).
+    # Screening: weights shard; the FFT convolution runs as per-device
+    # pencil FFTs with COLUMN-SHARDED kernel spectra (parallel/fft_sharded)
+    # when the grid pencil-decomposes over this mesh, so per-device FFT
+    # work and spectrum memory drop ~1/n_dev. Otherwise the spectra
+    # replicate and the partitioner all-gathers (correct, round-3
+    # behavior).
     weights, fft_data = solver._screening_weights
     weights = place(weights)
     if fft_data is not None:
-        fft_data = jax.device_put(fft_data, NamedSharding(mesh, P()))
+        from .fft_sharded import (
+            make_sharded_fft_screening,
+            pad_fft_data_for_sharding,
+        )
+
+        eval_fn = make_sharded_fft_screening(mesh, Rp, Cp)
+        if eval_fn is not None:
+            fft_data = pad_fft_data_for_sharding(fft_data, n_dev, mesh)
+            cfg_updates["screening_eval_fn"] = eval_fn
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Grid rows (%d) do not pencil-decompose over %d devices;"
+                " FFT screening spectra will replicate.", Rp, n_dev,
+            )
+            fft_data = jax.device_put(fft_data, NamedSharding(mesh, P()))
     solver._screening_weights = (weights, fft_data)
+    if cfg_updates:
+        from ..solver.grid_step import make_grid_chunk_fn
+
+        solver.cfg = dataclasses.replace(solver.cfg, **cfg_updates)
+        solver._raw_chunk_fn = make_grid_chunk_fn(solver.cfg,
+                                                  solver.chunk_size)
+        solver.chunk_fn = lambda state: solver._raw_chunk_fn(
+            solver.sten, solver._screening_weights, solver.amg, state
+        )
     return place

@@ -274,13 +274,16 @@ def make_grid_step_fn(cfg: StepConfig):
                 J_site = gs.edge_quantity_to_sites(sten, J_s_u + J_n_u)
                 Jw = J_site * screening_weights[..., None].astype(rdtype)
                 if cfg.screening_use_fft:
-                    from ..ops.fft_screening import (
-                        induced_vector_potential_fft,
-                    )
+                    if cfg.screening_eval_fn is not None:
+                        A_new = cfg.screening_eval_fn(fft_data, sten, Jw)
+                    else:
+                        from ..ops.fft_screening import (
+                            induced_vector_potential_fft,
+                        )
 
-                    A_new = induced_vector_potential_fft(
-                        fft_data, sten, Jw
-                    )
+                        A_new = induced_vector_potential_fft(
+                            fft_data, sten, Jw
+                        )
                 else:
                     far = 1e6 * (1.0 - sten.valid.astype(rdtype))
                     sites_xy = jnp.stack(

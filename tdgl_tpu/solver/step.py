@@ -171,6 +171,13 @@ class StepConfig:
     # tolerance-stopped CG the solution is unchanged; with fixed-iteration
     # solves it lands ~4x closer (measured).
     poisson_predictor: bool = False
+    # Override for the FFT screening evaluation: a callable
+    # ``(fft_data, sten, J_weighted) -> (3, Rp, Cp, 2)`` replacing
+    # ops.fft_screening.induced_vector_potential_fft. Used by
+    # parallel/fft_sharded.py to run the convolution as per-device pencil
+    # FFTs under spatial sharding (hashed by identity for the chunk
+    # cache, like A_fn).
+    screening_eval_fn: Optional[Callable] = None
     # Stencil backend: fused single-pass Pallas kernels for the psi update
     # and the Poisson RHS (ops.pallas_step) instead of the roll-chain XLA
     # formulation. Each input plane is read from HBM exactly once; physics
