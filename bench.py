@@ -79,6 +79,11 @@ def measure(target_sites: int, attempts: int):
     pallas = os.environ.get("TDGL_BENCH_PALLAS")
     if pallas:  # "0" forces the roll-chain path, "1" forces fused kernels
         solver_kwargs.update(pallas_step=bool(int(pallas)))
+    fold = os.environ.get("TDGL_BENCH_FOLD")
+    if fold:  # "0"/"1" force the folded-link-weight fast path
+        solver_kwargs.update(fold_link_weights=bool(int(fold)))
+    if os.environ.get("TDGL_BENCH_LINK_BF16"):
+        solver_kwargs.update(link_phase_bf16=True)
     poisson = os.environ.get("TDGL_BENCH_POISSON", "")
     if poisson == "cg_tol":
         solver_kwargs.update(poisson_fixed_iterations=0)
@@ -200,7 +205,9 @@ def measure_screened(target_sites: int, attempts: int):
     device = build_device(target_sites)
     n_sites = len(device.mesh.sites)
     inner = os.environ.get("TDGL_BENCH_SCREEN_INNER")
+    skernel = os.environ.get("TDGL_BENCH_SCREEN_KERNEL", "auto")
     options = tdgl.SolverOptions(
+        screening_kernel=skernel,
         solve_time=1e9,
         dt_init=1e-4,
         dt_max=1e-2,

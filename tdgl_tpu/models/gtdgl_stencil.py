@@ -75,30 +75,85 @@ def edge_link_phases(sten, A_edge: jax.Array) -> LinkPhases:
     return LinkPhases(ur, ui, urm, uim)
 
 
+class FoldedLinkPhases(NamedTuple):
+    """Link variables with the FV weights folded in (static-A fast path).
+
+    ``wur + i wui = w_k U_k`` and ``wurm + i wuim = w_m_k conj-view`` are
+    the *weight-premultiplied* link tables: with a chunk-constant applied
+    potential they are computed once outside the scan, so the covariant
+    Laplacian reads 12 planes instead of 18 (no separate ``w``/``w_m``
+    reads) — the stencil step is HBM-bandwidth bound, so plane reads are
+    the cost model. ``ur``/``ui`` stay raw for the supercurrent. The
+    folded tables may be stored bfloat16 (``fold_link_phases(bf16=True)``):
+    they multiply O(1) psi values, mixed-precision promotion keeps the
+    accumulation in the working dtype, and the weight tables are exact
+    lattice constants except at cut cells, so bf16 storage perturbs the
+    discretization by ~4e-3 relative — gate with the physics tests before
+    enabling by default.
+    """
+
+    ur: jax.Array    # (3, Rp, Cp) — raw, for the supercurrent
+    ui: jax.Array
+    wur: jax.Array   # (3, Rp, Cp) — w * U (positive edges)
+    wui: jax.Array
+    wurm: jax.Array  # (3, Rp, Cp) — w_m * shifted-conj U (negative edges)
+    wuim: jax.Array
+
+
+def fold_link_phases(sten, U: LinkPhases, bf16: bool = False
+                     ) -> FoldedLinkPhases:
+    """Premultiply the FV weights into the link phases (see
+    :class:`FoldedLinkPhases`)."""
+    dt = U.ur.dtype
+    w = sten.w.astype(dt)
+    wm = sten.w_m.astype(dt)
+    store = jnp.bfloat16 if bf16 else dt
+    return FoldedLinkPhases(
+        ur=U.ur.astype(store),
+        ui=U.ui.astype(store),
+        wur=(w * U.ur).astype(store),
+        wui=(w * U.ui).astype(store),
+        wurm=(wm * U.urm).astype(store),
+        wuim=(wm * U.uim).astype(store),
+    )
+
+
 def covariant_laplacian(
-    sten, U: LinkPhases, pr: jax.Array, pi: jax.Array
+    sten, U, pr: jax.Array, pi: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Covariant Laplacian ``(nabla - iA)^2 psi``, split re/im.
 
     Matches :func:`tdgl_tpu.models.gtdgl.covariant_laplacian` (identity rows
-    at fixed sites) exactly on structured meshes.
+    at fixed sites) exactly on structured meshes. ``U`` may be
+    :class:`LinkPhases` or the weight-folded :class:`FoldedLinkPhases`.
     """
     dt = pr.dtype
     acc_r = jnp.zeros_like(pr)
     acc_i = jnp.zeros_like(pi)
+    folded = isinstance(U, FoldedLinkPhases)
     for k in range(3):
-        wk = sten.w[k].astype(dt)
-        # positive edge: U_k psi_{+k}
         pr_p = shift_p(pr, k)
         pi_p = shift_p(pi, k)
-        acc_r = acc_r + wk * (U.ur[k] * pr_p - U.ui[k] * pi_p)
-        acc_i = acc_i + wk * (U.ur[k] * pi_p + U.ui[k] * pr_p)
-        # negative edge: conj(U_k at -off) psi_{-off}
-        wm = sten.w_m[k].astype(dt)
         pr_m = shift_m(pr, k)
         pi_m = shift_m(pi, k)
-        acc_r = acc_r + wm * (U.urm[k] * pr_m + U.uim[k] * pi_m)
-        acc_i = acc_i + wm * (U.urm[k] * pi_m - U.uim[k] * pr_m)
+        if folded:
+            wur = U.wur[k].astype(dt)
+            wui = U.wui[k].astype(dt)
+            acc_r = acc_r + (wur * pr_p - wui * pi_p)
+            acc_i = acc_i + (wur * pi_p + wui * pr_p)
+            wurm = U.wurm[k].astype(dt)
+            wuim = U.wuim[k].astype(dt)
+            acc_r = acc_r + (wurm * pr_m + wuim * pi_m)
+            acc_i = acc_i + (wurm * pi_m - wuim * pr_m)
+        else:
+            wk = sten.w[k].astype(dt)
+            # positive edge: U_k psi_{+k}
+            acc_r = acc_r + wk * (U.ur[k] * pr_p - U.ui[k] * pi_p)
+            acc_i = acc_i + wk * (U.ur[k] * pi_p + U.ui[k] * pr_p)
+            # negative edge: conj(U_k at -off) psi_{-off}
+            wm = sten.w_m[k].astype(dt)
+            acc_r = acc_r + wm * (U.urm[k] * pr_m + U.uim[k] * pi_m)
+            acc_i = acc_i + wm * (U.urm[k] * pi_m - U.uim[k] * pr_m)
     diag = sten.sym_diag.astype(dt)
     inv_a = sten.inv_area.astype(dt)
     lap_r = (acc_r - pr * diag) * inv_a

@@ -276,6 +276,14 @@ def make_grid_step_fn(cfg: StepConfig):
                 if cfg.screening_use_fft:
                     if cfg.screening_eval_fn is not None:
                         A_new = cfg.screening_eval_fn(fft_data, sten, Jw)
+                    elif cfg.screening_fft_mxu:
+                        from ..ops.fft_screening import (
+                            induced_vector_potential_mxu,
+                        )
+
+                        A_new = induced_vector_potential_mxu(
+                            fft_data, sten, Jw
+                        )
                     else:
                         from ..ops.fft_screening import (
                             induced_vector_potential_fft,
@@ -294,18 +302,9 @@ def make_grid_step_fn(cfg: StepConfig):
                         [sten.ec_x.astype(rdtype),
                          sten.ec_y.astype(rdtype)], axis=-1,
                     ).reshape(-1, 2)
-                    if cfg.screening_use_pallas:
-                        from ..ops.pallas_screening import (
-                            induced_vector_potential_pallas,
-                        )
-
-                        A_flat = induced_vector_potential_pallas(
-                            ec_xy, sites_xy, Jw.reshape(-1, 2)
-                        ).astype(rdtype)
-                    else:
-                        A_flat = induced_vector_potential(
-                            ec_xy, sites_xy, Jw.reshape(-1, 2)
-                        )
+                    A_flat = induced_vector_potential(
+                        ec_xy, sites_xy, Jw.reshape(-1, 2)
+                    )
                     A_new = (A_flat.reshape(A_ind.shape)
                              * edge_valid[..., None])
                 dA = A_new - A_ind
@@ -488,6 +487,9 @@ def make_grid_chunk_fn(cfg: StepConfig, chunk_size: int):
         rdtype = state.mu.dtype
         static_link = (gs.edge_link_phases(sten, state.A_applied)
                        if hoist_link else None)
+        if static_link is not None and cfg.fold_link_weights:
+            static_link = gs.fold_link_phases(sten, static_link,
+                                              bf16=cfg.link_bf16)
 
         def carry_of(st: GridState):
             c = dict(

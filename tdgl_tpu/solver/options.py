@@ -123,7 +123,16 @@ class SolverOptions:
     #   "fft"    — exact O(N log N) lattice convolution
     #              (ops/fft_screening.py; structured meshes only);
     #   "xla"    — blocked O(E x S) rsqrt+matmul (ops/screening.py);
-    #   "pallas" — fused pairwise kernel (ops/pallas_screening.py; f32).
+    #   "mxu"    — the FFT convolution with every transform expressed as
+    #              a dense DFT matmul on the systolic array (same math,
+    #              parity-tested; XLA's TPU FFT lowering is lane-shuffle
+    #              -bound, measured ~0.5 TFLOP/s).
+    # (A fused Pallas pairwise kernel existed through round 3 and was
+    # deleted: the pairwise sum is VPU-rsqrt-bound — E x S ~ 7.5e9 rsqrts
+    # is a ~20 ms floor that the XLA blocked form already sits at via the
+    # MXU dot-product distance trick — so no kernel formulation can beat
+    # "xla", and "fft" superseded both on structured meshes. Measured 45
+    # vs 22 ms; see docs/perf_notes.md.)
     screening_kernel: str = "auto"
     # CG iterations per mu solve inside the screening fixed point. A fixed
     # count (rather than tolerance-stopped CG) makes each solve a smooth map,
@@ -211,13 +220,31 @@ class SolverOptions:
     steps_per_chunk: Optional[int] = None
     profile_dir: Optional[str] = None  # write a jax.profiler trace here
     # Fused single-pass Pallas kernels for the stencil step body (psi
-    # update, Poisson RHS): every input plane is read from HBM exactly
-    # once instead of once per roll. None = auto (enabled on TPU for
-    # structured float32 solves whose grid fits VMEM as a single block);
-    # True/False force. Physics identical (parity-pinned in
-    # tests/test_pallas_step.py). Incompatible with spatial sharding —
-    # shard_solver_spatially rebuilds the chunk program without it.
+    # update, Poisson RHS). None = auto = OFF: measured on the 50k
+    # benchmark they lose to XLA's roll-chain formulation (XLA already
+    # runs each stencil op at the HBM roofline and pipelines across the
+    # scan; the pallas_call fusion barrier costs more than it saves —
+    # docs/perf_notes.md). Kept available and parity-pinned
+    # (tests/test_pallas_step.py) as the honest record. Incompatible with
+    # spatial sharding — shard_solver_spatially rebuilds without it.
     pallas_step: Optional[bool] = None
+    # Premultiply the FV weights into the hoisted (static-A) link phases
+    # so the psi update reads 12 planes instead of 18 (the step is
+    # HBM-bandwidth bound). Same math up to rounding order. None = auto:
+    # on for float32 structured solves (float64 keeps the reference
+    # rounding order for the step-for-step oracle parity pins).
+    fold_link_weights: Optional[bool] = None
+    # Store the folded link tables in bfloat16: halves their read
+    # bandwidth (+5% measured end-to-end on the 50k benchmark) at a
+    # ~4e-3 relative perturbation of the link phases (~0.4% effective
+    # applied-field error). MEASURED PHYSICS IMPACT (docs/validation.md):
+    # near vortex-entry degeneracies the perturbation selects a different
+    # equilibrium (observed: 6 vs 4 vortices in a test film, magnetic
+    # moment off 5.7%, transport voltage off 9%, where plain f32 matches
+    # f64 to <0.05%). REJECTED as a default for that reason; available
+    # for speed-over-accuracy scans where a 0.4% field error is
+    # acceptable.
+    link_phase_bf16: bool = False
     # Enable jax's persistent compilation cache (per-user directory,
     # ~/.cache/tdgl_tpu/jax_cache) when constructing a solver: the
     # production chunk program takes minutes to compile on TPU cold, and
@@ -277,14 +304,10 @@ class SolverOptions:
                 "screening_error_norm must be 'auto', 'per_edge', or"
                 f" 'global' (got {self.screening_error_norm})."
             )
-        if self.screening_kernel not in ("auto", "fft", "xla", "pallas"):
+        if self.screening_kernel not in ("auto", "fft", "xla", "mxu"):
             raise SolverOptionsError(
-                "screening_kernel must be 'auto', 'fft', 'xla', or"
-                f" 'pallas' (got {self.screening_kernel})."
-            )
-        if self.screening_kernel == "pallas" and self.dtype != "float32":
-            raise SolverOptionsError(
-                "screening_kernel='pallas' requires dtype='float32'."
+                "screening_kernel must be 'auto', 'fft', 'xla', or 'mxu'"
+                f" (got {self.screening_kernel})."
             )
         if self.poisson_warm_start not in ("previous", "extrapolate"):
             raise SolverOptionsError(

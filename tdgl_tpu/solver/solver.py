@@ -420,10 +420,10 @@ class TDGLSolver:
         screening_kernel = options.screening_kernel
         if screening_kernel == "auto":
             screening_kernel = "fft" if self.structured else "xla"
-        if screening_kernel == "fft" and not self.structured:
+        if screening_kernel in ("fft", "mxu") and not self.structured:
             raise ValueError(
-                "screening_kernel='fft' requires a structured mesh"
-                " (Device.make_mesh(structured=True))."
+                f"screening_kernel={screening_kernel!r} requires a"
+                " structured mesh (Device.make_mesh(structured=True))."
             )
         self._screening_kernel = screening_kernel
         if options.include_screening:
@@ -439,11 +439,13 @@ class TDGLSolver:
                 self.maps.site_to_grid(weights.astype(self.rdtype))
             )
             fft_data = None
-            if options.include_screening and screening_kernel == "fft":
+            if options.include_screening and screening_kernel in ("fft",
+                                                                  "mxu"):
                 from ..ops.fft_screening import build_fft_screening
 
                 fft_data = build_fft_screening(
-                    host_sten, self.maps, mesh.grid, dtype=self.rdtype
+                    host_sten, self.maps, mesh.grid, dtype=self.rdtype,
+                    with_dft=(screening_kernel == "mxu"),
                 )
             self._screening_weights = (weights, fft_data)
         else:
@@ -611,8 +613,8 @@ class TDGLSolver:
             ),
             include_screening=bool(options.include_screening),
             screening_global_error_norm=screening_global_norm,
-            screening_use_pallas=(self._screening_kernel == "pallas"),
-            screening_use_fft=(self._screening_kernel == "fft"),
+            screening_use_fft=(self._screening_kernel in ("fft", "mxu")),
+            screening_fft_mxu=(self._screening_kernel == "mxu"),
             screening_anderson=(options.screening_solver == "anderson"),
             screening_cg_iters=(
                 int(options.screening_cg_iterations)
@@ -659,6 +661,30 @@ class TDGLSolver:
             use_amg=self._use_amg,
             use_pallas_step=self._resolve_pallas_step(options),
         )
+        fold = options.fold_link_weights
+        if fold is None:
+            # Auto: f32 structured only — f64 keeps the reference rounding
+            # order for the step-for-step oracle parity pins.
+            fold = (self.structured and options.dtype == "float32"
+                    and not self.cfg.use_pallas_step)
+        if fold and self.cfg.use_pallas_step:
+            raise SolverOptionsError(
+                "fold_link_weights is incompatible with pallas_step (the"
+                " fused kernels read the unfolded link tables)."
+            )
+        if fold or options.link_phase_bf16:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(
+                self.cfg, fold_link_weights=bool(fold),
+                link_bf16=bool(options.link_phase_bf16 and fold),
+            )
+        if options.link_phase_bf16 and not fold:
+            logger.warning(
+                "link_phase_bf16 has no effect without fold_link_weights"
+                " (explicit fold_link_weights=False, or a non-f32/"
+                "non-structured solve)."
+            )
         if self.host_dynamic:
             self.chunk_size = 1
         else:
@@ -694,23 +720,19 @@ class TDGLSolver:
     def _resolve_pallas_step(self, options: SolverOptions) -> bool:
         """Resolve ``SolverOptions.pallas_step`` (None = auto).
 
-        Auto enables the fused Pallas step kernels when (a) the solve runs
-        the structured stencil backend on a real TPU (off-TPU the kernels
-        would run interpreted — correct but slow; explicit True still
-        works and is what the parity tests use), and (b) the padded grid
-        fits VMEM as a single block (the kernels are untiled; ~30 f32
-        planes of working set against a ~16 MB VMEM budget).
+        Auto is OFF: measured end-to-end on the 50k benchmark the fused
+        kernels LOSE to the XLA roll-chain formulation (8,806 vs 8,938
+        steps/s unscreened; 791 vs 1,076 screened) — XLA already runs each
+        stencil op at the HBM roofline and pipelines the step body across
+        the scan, while a pallas_call is an opaque fusion barrier with its
+        own dispatch cost (per-kernel microbench: psi 41 vs 40 us, rhs 31
+        vs 29 us — no fusion win to amortize the barrier). See
+        docs/perf_notes.md. The kernels remain available (pallas_step=True)
+        and parity-tested.
         """
         if options.pallas_step is not None:
             return bool(options.pallas_step)
-        if not self.structured or options.dtype != "float32":
-            return False
-        if self._exec_device is not None:  # host-fenced solve
-            return False
-        if jax.default_backend() != "tpu":
-            return False
-        Rp, Cp = self.maps.shape
-        return 30 * Rp * Cp * 4 <= 14 * 1024 * 1024
+        return False
 
     def _poisson_fixed_iters(self, options: SolverOptions) -> Optional[int]:
         """Resolve ``poisson_fixed_iterations`` (None = auto, 0 = forced

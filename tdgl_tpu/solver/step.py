@@ -151,10 +151,13 @@ class StepConfig:
     # Globally-normalized screening error (f32 path; see SolverOptions
     # ``screening_error_norm``) instead of the reference's per-edge ratio.
     screening_global_error_norm: bool = False
-    # Fused Pallas induced-A kernel instead of the XLA blocked kernel.
-    screening_use_pallas: bool = False
     # Exact FFT-convolution induced-A kernel (structured backend only).
     screening_use_fft: bool = False
+    # Evaluate the convolution's transforms as dense DFT matmuls on the
+    # MXU instead of XLA FFTs (ops.fft_screening.induced_vector_potential
+    # _mxu — same math, parity-tested; XLA's TPU FFT lowering is
+    # lane-shuffle-bound).
+    screening_fft_mxu: bool = False
     # CG iterations per mu solve inside the screening fixed point (fixed
     # count -> smooth map; see ``observables``).
     screening_cg_iters: int = 32
@@ -178,6 +181,15 @@ class StepConfig:
     # FFTs under spatial sharding (hashed by identity for the chunk
     # cache, like A_fn).
     screening_eval_fn: Optional[Callable] = None
+    # Stencil backend, static-A fast path: premultiply the FV weights into
+    # the hoisted link phases (models.gtdgl_stencil.FoldedLinkPhases) so
+    # the covariant Laplacian reads 12 planes/step instead of 18 — plane
+    # reads ARE the cost (HBM-bound). Same math up to f32 rounding order.
+    fold_link_weights: bool = False
+    # Store the folded link tables in bfloat16 (halves their read
+    # bandwidth; ~4e-3 relative perturbation of the link phases — f32
+    # accumulation via mixed-precision promotion). Physics-gated.
+    link_bf16: bool = False
     # Stencil backend: fused single-pass Pallas kernels for the psi update
     # and the Poisson RHS (ops.pallas_step) instead of the roll-chain XLA
     # formulation. Each input plane is read from HBM exactly once; physics
@@ -336,20 +348,10 @@ def make_step_fn(cfg: StepConfig):
                 J_site = gtdgl.edge_quantity_to_sites(op, J_s_u + J_n_u,
                                                       n_sites)
                 Jw = J_site * screening_weights[:, None].astype(rdtype)
-                if cfg.screening_use_pallas:
-                    from ..ops.pallas_screening import (
-                        induced_vector_potential_pallas,
-                    )
-
-                    A_new = induced_vector_potential_pallas(
-                        op.edge_centers.astype(rdtype),
-                        op.sites.astype(rdtype), Jw,
-                    ).astype(rdtype)
-                else:
-                    A_new = induced_vector_potential(
-                        op.edge_centers.astype(rdtype),
-                        op.sites.astype(rdtype), Jw,
-                    )
+                A_new = induced_vector_potential(
+                    op.edge_centers.astype(rdtype),
+                    op.sites.astype(rdtype), Jw,
+                )
                 dA = A_new - A_ind
                 if cfg.screening_anderson:
                     # Depth-1 Anderson acceleration (see grid_step).

@@ -444,3 +444,75 @@ def test_backend_screened_trajectory_parity():
         axis=1,
     ).max()
     assert dA / A_scale < 1e-5
+
+
+def test_mxu_dft_screening_parity():
+    """The MXU DFT-matmul screening evaluation is exact-arithmetic
+    identical to the FFT path (same convolution, transforms as dense DFT
+    factor matmuls — see induced_vector_potential_mxu)."""
+    import jax.numpy as jnp
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+    from tdgl_tpu.ops.fft_screening import (
+        build_fft_screening,
+        induced_vector_potential_fft,
+        induced_vector_potential_mxu,
+    )
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1)
+    film = tdgl.Polygon("film", points=box(10)).resample(100)
+    device = tdgl.Device("mxu", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=2000, structured=True)
+    options = tdgl.SolverOptions(
+        solve_time=1.0, include_screening=True,
+        field_units="mT", current_units="uA",
+    )
+    solver = TDGLSolver(device, options, applied_vector_potential=0.5)
+    fftd = build_fft_screening(solver.host_sten, solver.maps,
+                               device.mesh.grid)
+    rng = np.random.default_rng(7)
+    valid = np.asarray(solver.host_sten.valid)
+    Jw = jnp.asarray(
+        (rng.standard_normal(solver.maps.shape + (2,))
+         * valid[..., None]).astype(np.float32))
+    A_fft = induced_vector_potential_fft(fftd, solver.sten, Jw)
+    A_mxu = induced_vector_potential_mxu(fftd, solver.sten, Jw)
+    scale = float(jnp.abs(A_fft).max())
+    assert float(jnp.abs(A_mxu - A_fft).max()) / scale < 1e-5
+
+
+def test_folded_link_weights_trajectory_parity():
+    """fold_link_weights (the f32 auto default) tracks the unfolded
+    formulation to f32 rounding over a chunked trajectory, and bf16 link
+    storage (opt-in) stays within its documented ~1e-2 envelope."""
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+    from tdgl_tpu.solver.solver import TDGLSolver
+    from tdgl_tpu.utils.jaxio import to_numpy
+
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1)
+    film = tdgl.Polygon("film", points=box(10)).resample(100)
+    device = tdgl.Device("fold", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=2000, structured=True)
+
+    def run(**kw):
+        options = tdgl.SolverOptions(
+            solve_time=1e9, dt_init=1e-3, adaptive=False,
+            save_every=100, steps_per_chunk=100, dtype="float32",
+            field_units="mT", current_units="uA", **kw)
+        solver = TDGLSolver(device, options, applied_vector_potential=0.5)
+        state = solver._initial_state()
+        for _ in range(2):
+            state, _, _ = solver.chunk_fn(state)
+        return to_numpy(state.psi_r)
+
+    base = run(fold_link_weights=False)
+    folded = run()  # auto: folded on at f32
+    bf16 = run(link_phase_bf16=True)
+    scale = np.abs(base).max()
+    assert np.abs(folded - base).max() / scale < 1e-3
+    assert np.abs(bf16 - base).max() / scale < 3e-2

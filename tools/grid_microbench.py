@@ -23,7 +23,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = ("stencil", "vcycle", "cg2", "cg3", "mgr2", "mgr3",
-            "fft_screen", "psi_update")
+            "fft_screen", "psi_update", "psi_pallas", "rhs_xla",
+            "rhs_pallas")
 
 
 def main():
@@ -138,6 +139,33 @@ def main():
             return (res.psi_r, res.psi_i)
         timed("psi_update", psi_fn, (state.psi_r, state.psi_i), args.iters)
 
+    if "psi_pallas" in chosen:
+        from tdgl_tpu.ops.pallas_step import fused_psi_update
+
+        def psi_pallas_fn(carry):
+            pr, pi = carry
+            new_r, new_i, _sq, _ok = fused_psi_update(
+                solver.cfg.gamma, solver.cfg.u, sten, U0, pr, pi, r0,
+                state.epsilon, jnp.asarray(1e-4, rd))
+            return (new_r, new_i)
+        timed("psi_pallas", psi_pallas_fn, (state.psi_r, state.psi_i),
+              args.iters)
+    if "rhs_xla" in chosen:
+        def rhs_xla_fn(x):
+            J_s = gs.supercurrent_on_edges(sten, U0, x, state.psi_i)
+            rhs = gs.poisson_rhs(sten, J_s, state.dA_dt,
+                                 state.neumann_term)
+            return x + eps * rhs
+        timed("rhs_xla", rhs_xla_fn, state.psi_r, args.iters)
+    if "rhs_pallas" in chosen:
+        from tdgl_tpu.ops.pallas_step import fused_poisson_rhs
+
+        def rhs_pallas_fn(x):
+            rhs = fused_poisson_rhs(sten, U0, x, state.psi_i,
+                                    state.dA_dt, state.neumann_term)
+            return x + eps * rhs
+        timed("rhs_pallas", rhs_pallas_fn, state.psi_r, args.iters)
+
     rhs0 = gs.poisson_rhs(
         sten, gs.supercurrent_on_edges(sten, U0, state.psi_r, state.psi_i),
         state.dA_dt, state.neumann_term)
@@ -166,20 +194,27 @@ def main():
     if "mgr3" in chosen:
         timed("mgr3", solve_variant("mgr", 3), state.mu, args.iters)
 
-    if "fft_screen" in chosen:
+    if "fft_screen" in chosen or "mxu_screen" in chosen:
         from tdgl_tpu.ops.fft_screening import (
             build_fft_screening,
             induced_vector_potential_fft,
+            induced_vector_potential_mxu,
         )
 
         fftd = build_fft_screening(solver.host_sten, maps,
                                    device.mesh.grid)
         Jw0 = jnp.stack([r0, -r0], axis=-1)
 
-        def f_fn(Jw):
-            A = induced_vector_potential_fft(fftd, sten, Jw)
-            return Jw + eps * A[0]
-        timed("fft_screen", f_fn, Jw0, max(20, args.iters // 5))
+        if "fft_screen" in chosen:
+            def f_fn(Jw):
+                A = induced_vector_potential_fft(fftd, sten, Jw)
+                return Jw + eps * A[0]
+            timed("fft_screen", f_fn, Jw0, max(20, args.iters // 5))
+        if "mxu_screen" in chosen:
+            def m_fn(Jw):
+                A = induced_vector_potential_mxu(fftd, sten, Jw)
+                return Jw + eps * A[0]
+            timed("mxu_screen", m_fn, Jw0, max(20, args.iters // 5))
 
 
 if __name__ == "__main__":
