@@ -84,6 +84,9 @@ def measure(target_sites: int, attempts: int):
         solver_kwargs.update(fold_link_weights=bool(int(fold)))
     if os.environ.get("TDGL_BENCH_LINK_BF16"):
         solver_kwargs.update(link_phase_bf16=True)
+    sstep = os.environ.get("TDGL_BENCH_SSTEP")
+    if sstep:
+        solver_kwargs.update(poisson_sstep=bool(int(sstep)))
     poisson = os.environ.get("TDGL_BENCH_POISSON", "")
     if poisson == "cg_tol":
         solver_kwargs.update(poisson_fixed_iterations=0)

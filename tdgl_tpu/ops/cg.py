@@ -321,6 +321,112 @@ def cg_solve_topup(
     return CGResult(project(x), k, res)
 
 
+def cg_solve_2step_topup(
+    apply_A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    tol: float = 1e-6,
+    maxiter: int = 200,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    project_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> CGResult:
+    """TWO preconditioned-CG iterations computed as one blocked 2D Krylov
+    minimization (s-step CG with s = 2), plus the tolerance-stopped
+    top-up of :func:`cg_solve_topup`.
+
+    Exact-arithmetic-equivalent to 2 PCG iterations: the PCG iterate
+    ``x_2`` minimizes the A-norm error over ``x0 + span{M r0, M A M r0}``,
+    which is solved here directly via the 2x2 Gram system. Why bother:
+    sequential CG's scalars (alpha, beta) each gate the next vector op —
+    4 reduction -> scalar -> broadcast round trips per 2 iterations, each
+    a pipeline sync on TPU. The blocked form computes the SAME basis with
+    2 applies + 2 V-cycles and then all 5 Gram/rhs dot products as one
+    *independent* reduction batch, removing 3 of the 4 sync points from
+    the hot path.
+
+    Breakdown guards: near-singular Gram (linearly dependent basis —
+    happens when the warm start is already converged) falls back to the
+    steepest 1D step, then to x0.
+    """
+    rdtype = b.dtype
+
+    if project_fn is not None:
+        project = project_fn
+    else:
+        project = _project_out_constant
+
+    def M_inv(v):
+        return precond(v) if precond is not None else v
+
+    b = project(b)
+    x0 = project(x0)
+    b_norm_sq = jnp.maximum(jnp.sum(b * b), jnp.finfo(rdtype).tiny)
+    eps = float(jnp.finfo(rdtype).eps)
+    tol_eff = max(float(tol), 50.0 * eps)
+    tol_sq = np.asarray(tol_eff, rdtype) ** 2 * b_norm_sq
+
+    r0 = project(b - apply_A(x0))
+    v1 = M_inv(r0)
+    Av1 = apply_A(v1)
+    v2 = M_inv(project(Av1))
+    Av2 = apply_A(v2)
+    # All five scalars are mutually independent: one reduction batch.
+    g11 = jnp.sum(v1 * Av1)
+    g12 = jnp.sum(v1 * Av2)
+    g22 = jnp.sum(v2 * Av2)
+    c1 = jnp.sum(v1 * r0)
+    c2 = jnp.sum(v2 * r0)
+    det = g11 * g22 - g12 * g12
+    tiny = jnp.finfo(rdtype).tiny
+    safe2 = jnp.abs(det) > 1e3 * tiny * jnp.maximum(g11 * g22, tiny)
+    safe1 = g11 > tiny
+    a2 = (c1 * g22 - c2 * g12) / jnp.where(safe2, det, 1.0)
+    b2 = (g11 * c2 - g12 * c1) / jnp.where(safe2, det, 1.0)
+    a1 = c1 / jnp.where(safe1, g11, 1.0)
+    alpha = jnp.where(safe2, a2, jnp.where(safe1, a1, 0.0))
+    beta = jnp.where(safe2, b2, 0.0)
+    x = x0 + alpha * v1 + beta * v2
+    r = project(r0 - alpha * Av1 - beta * Av2)
+
+    # Tolerance-stopped top-up (restarted PCG from (x, r); no-op in
+    # steady state — its only cost is the loop condition's reduction).
+    z = M_inv(r)
+    rz = jnp.sum(r * z)
+
+    def cond(state):
+        x, r, z, p, rz, k, ok = state
+        return jnp.logical_and(
+            ok, jnp.logical_and(jnp.sum(r * r) > tol_sq, k < maxiter)
+        )
+
+    def body(state):
+        x, r, z, p, rz, k, ok = state
+        Ap = apply_A(p)
+        pAp = jnp.sum(p * Ap)
+        healthy = jnp.logical_and(jnp.isfinite(pAp), pAp > tiny)
+        al = jnp.where(healthy, rz / jnp.where(healthy, pAp, 1.0), 0.0)
+        x_new = x + al * p
+        r_new = project(r - al * Ap)
+        z_new = M_inv(r_new)
+        rz_new = jnp.sum(r_new * z_new)
+        be = jnp.where(healthy,
+                       rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0)
+        p_new = z_new + be * p
+
+        def keep(old, new):
+            return jnp.where(healthy, new, old)
+
+        return (keep(x, x_new), keep(r, r_new), keep(z, z_new),
+                keep(p, p_new), keep(rz, rz_new), k + 1,
+                jnp.logical_and(ok, healthy))
+
+    x, r, _, _, _, k, _ok = jax.lax.while_loop(
+        cond, body, (x, r, z, z, rz, np.int32(2), np.bool_(True))
+    )
+    res = jnp.sqrt(jnp.sum(r * r) / b_norm_sq)
+    return CGResult(project(x), k, res)
+
+
 def mg_richardson_grid(
     sten,
     rhs: jax.Array,
@@ -431,13 +537,17 @@ def solve_mu_poisson_grid(
     amg_omega: float = 0.6,
     fixed_iters: Optional[int] = None,
     topup: bool = False,
+    sstep: bool = False,
 ) -> CGResult:
     """Grid (stencil-backend) variant of :func:`solve_mu_poisson`.
 
     Works on padded ``(Rp, Cp)`` arrays; the constant-mode deflation uses a
     masked mean so padding/masked sites stay exactly zero. ``topup`` (with
     ``fixed_iters``) appends tolerance-stopped iterations when the fixed
-    count missed ``tol`` — see :func:`cg_solve_topup`.
+    count missed ``tol`` — see :func:`cg_solve_topup`. ``sstep`` (with
+    ``fixed_iters=2`` and ``topup``) computes the fixed phase as one
+    blocked 2D Krylov step — same math, 3 fewer reduction sync points
+    (:func:`cg_solve_2step_topup`).
     """
     from ..models.gtdgl_stencil import scalar_laplacian_sym
 
@@ -469,6 +579,11 @@ def solve_mu_poisson_grid(
             0.0,
         )
     if fixed_iters is not None:
+        if topup and sstep and fixed_iters == 2 and precond is not None:
+            return cg_solve_2step_topup(
+                apply_A, b, mu_prev, tol=tol, maxiter=maxiter,
+                precond=precond, project_fn=project,
+            )
         if topup:
             return cg_solve_topup(
                 apply_A, b, mu_prev, fixed_iters, tol=tol, maxiter=maxiter,

@@ -179,6 +179,7 @@ def make_grid_step_fn(cfg: StepConfig):
                 amg_omega=cfg.amg_omega,
                 fixed_iters=fixed_iters,
                 topup=topup,
+                sstep=cfg.poisson_sstep,
             )
         J_n = -gs.gradient_on_edges(sten, cg.x) - dA_dt
         return J_s, cg.x, J_n, cg.iterations, cg.residual_norm

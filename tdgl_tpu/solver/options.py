@@ -234,6 +234,13 @@ class SolverOptions:
     # on for float32 structured solves (float64 keeps the reference
     # rounding order for the step-for-step oracle parity pins).
     fold_link_weights: Optional[bool] = None
+    # Compute the mu solve's fixed 2-iteration phase as one blocked 2D
+    # Krylov (s-step) minimization: mathematically identical to 2 PCG
+    # iterations, but the five Gram scalars form ONE independent
+    # reduction batch instead of four sequential reduction->scalar->
+    # broadcast sync points. Applies when the auto fixed-2 MG-CG solve is
+    # active. None = auto (measured on-TPU per docs/perf_notes.md).
+    poisson_sstep: Optional[bool] = None
     # Store the folded link tables in bfloat16: halves their read
     # bandwidth (+5% measured end-to-end on the 50k benchmark) at a
     # ~4e-3 relative perturbation of the link phases (~0.4% effective

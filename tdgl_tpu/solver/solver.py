@@ -419,7 +419,21 @@ class TDGLSolver:
         # --- screening weights ------------------------------------------------
         screening_kernel = options.screening_kernel
         if screening_kernel == "auto":
-            screening_kernel = "fft" if self.structured else "xla"
+            if self.structured:
+                # Same convolution either way; on TPU the DFT-matmul form
+                # runs on the MXU (measured 256 vs 650 us/eval — XLA's
+                # TPU FFT lowering is lane-shuffle-bound; end-to-end
+                # screened throughput 2,302 vs 1,114 steps/s at the 50k
+                # benchmark). Off-TPU dense DFT matmuls lose to real
+                # FFTs, and float64 has no MXU path.
+                screening_kernel = (
+                    "mxu" if (jax.default_backend() == "tpu"
+                              and options.dtype == "float32"
+                              and self._exec_device is None)
+                    else "fft"
+                )
+            else:
+                screening_kernel = "xla"
         if screening_kernel in ("fft", "mxu") and not self.structured:
             raise ValueError(
                 f"screening_kernel={screening_kernel!r} requires a"
@@ -638,6 +652,8 @@ class TDGLSolver:
             poisson_tolerance=poisson_tol,
             poisson_max_iterations=int(options.poisson_max_iterations),
             poisson_fixed_iters=self._poisson_fixed_iters(options),
+            poisson_sstep=(bool(options.poisson_sstep)
+                           if options.poisson_sstep is not None else False),
             poisson_predictor=(options.poisson_warm_start == "extrapolate"),
             poisson_use_mg=(options.poisson_solver == "mg"
                             and self.structured),

@@ -165,6 +165,10 @@ class StepConfig:
     poisson_fixed_iters: Optional[int] = None
     # Stencil backend: fixed multigrid-Richardson cycles instead of CG.
     poisson_use_mg: bool = False
+    # Compute the fixed 2-iteration phase of the mu solve as one blocked
+    # 2D Krylov step (ops.cg.cg_solve_2step_topup): exact-arithmetic-same
+    # as 2 PCG iterations with 3 fewer reduction sync points.
+    poisson_sstep: bool = False
     # Anderson(1) acceleration for the screening fixed point (False =
     # reference-style Polyak heavy ball).
     screening_anderson: bool = True
