@@ -26,6 +26,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _gather_complex(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather a complex array through integer indices, split-complex.
+
+    The TPU runtime in this environment reproducibly faults on large
+    complex-dtype gathers (the round-2 ~50k-site ELL fence) while the same
+    gather over float32 data is fine at 100k+ sites
+    (``tools/ell_fault_probe.py``). Stack re/im into a trailing axis of a
+    real array, gather once, and recombine — bit-exact equal to ``x[idx]``.
+    """
+    if not jnp.iscomplexobj(x):
+        return x[idx]
+    s = jnp.stack([x.real, x.imag], axis=-1)[idx]
+    return jax.lax.complex(s[..., 0], s[..., 1])
+
+
 def edge_link_phases(A_edge: jax.Array, edge_directions: jax.Array) -> jax.Array:
     """Link variables ``U_e = exp(-i A(r_e) . e)`` for each edge.
 
@@ -45,9 +60,9 @@ def covariant_laplacian(op, U: jax.Array, psi: jax.Array) -> jax.Array:
     Rows for fixed (terminal) sites become identity rows, matching the
     reference's Dirichlet handling (``operators.py:170-181``).
     """
-    U_slot = U[op.nbr_edge]
+    U_slot = _gather_complex(U, op.nbr_edge)
     U_dir = jnp.where(op.nbr_sign > 0, U_slot, U_slot.conj())
-    psi_nbr = psi[op.nbr_site]
+    psi_nbr = _gather_complex(psi, op.nbr_site)
     w = op.w_lap.astype(psi.real.dtype)
     lap = (jnp.sum(w * (U_dir * psi_nbr), axis=1)
            - psi * op.w_lap_rowsum.astype(psi.real.dtype))
@@ -78,8 +93,10 @@ def supercurrent_on_edges(op, U: jax.Array, psi: jax.Array) -> jax.Array:
     on edges (reference ``operators.py:385-394``)."""
     e0 = op.edges[:, 0]
     e1 = op.edges[:, 1]
-    grad = (U * psi[e1] - psi[e0]) / op.edge_lengths.astype(psi.real.dtype)
-    return (psi[e0].conj() * grad).imag
+    psi0 = _gather_complex(psi, e0)
+    psi1 = _gather_complex(psi, e1)
+    grad = (U * psi1 - psi0) / op.edge_lengths.astype(psi.real.dtype)
+    return (psi0.conj() * grad).imag
 
 
 def divergence_on_sites(op, F_edge: jax.Array) -> jax.Array:

@@ -11,6 +11,10 @@ alternative formulations of the same (N, K) neighbor gather:
   take1d     — per-slot 1D gathers x[nbr[:, k]] stacked (K small gathers)
   chunked    — row-blocked gathers via lax.map (bounded gather size)
   segment    — COO edge formulation with segment_sum scatter-add
+  cgather    — complex64 x[nbr] (the real step gathers complex psi/U)
+  csplit     — split-complex: two f32 gathers re/im, combined after
+  cedge      — complex64 1D edge-endpoint gathers psi[e0], psi[e1]
+  cesplit    — split-complex 1D edge-endpoint gathers
 
 Each variant runs in ITS OWN SUBPROCESS (a fault wedges the process's
 TPU session) over a ladder of sizes, with the execution-proven timing
@@ -47,6 +51,13 @@ def _child(variant: str, n: int) -> None:
     x0 = rng.random(n).astype(np.float32)
     nbr_d = jnp.asarray(nbr)
     w_d = jnp.asarray(w)
+    complex_in = variant in ("cgather", "csplit", "cedge", "cesplit")
+    if complex_in:
+        x0 = (x0 + 1j * rng.random(n)).astype(np.complex64)
+    # Edge-endpoint tables for the 1D-edge variants (E ~ 3N like a
+    # triangulation's psi[e0]/psi[e1] gathers in supercurrent_on_edges).
+    e0_d = jnp.asarray(rng.integers(0, n, size=3 * n).astype(np.int32))
+    e1_d = jnp.asarray(rng.integers(0, n, size=3 * n).astype(np.int32))
 
     # COO for the segment variant.
     rows = np.repeat(np.arange(n, dtype=np.int32), K)
@@ -82,6 +93,23 @@ def _child(variant: str, n: int) -> None:
         if variant == "segment":
             contrib = vals_d * jnp.take(x, cols_d, axis=0)
             return jax.ops.segment_sum(contrib, rows_d, num_segments=n)
+        if variant == "cgather":
+            return jnp.sum(w_d * x[nbr_d], axis=1)
+        if variant == "csplit":
+            xr = jnp.sum(w_d * x.real[nbr_d], axis=1)
+            xi = jnp.sum(w_d * x.imag[nbr_d], axis=1)
+            return jax.lax.complex(xr, xi)
+        if variant == "cedge":
+            y = x[e0_d].conj() * x[e1_d]
+            return jnp.zeros(n, x.dtype).at[e0_d % n].add(y)[:n]
+        if variant == "cesplit":
+            ar, ai = x.real[e0_d], x.imag[e0_d]
+            br, bi = x.real[e1_d], x.imag[e1_d]
+            yr = ar * br + ai * bi
+            yi = ar * bi - ai * br
+            zr = jnp.zeros(n, yr.dtype).at[e0_d].add(yr)
+            zi = jnp.zeros(n, yr.dtype).at[e0_d].add(yi)
+            return jax.lax.complex(zr, zi)
         raise ValueError(variant)
 
     def body(carry, _):
@@ -92,15 +120,20 @@ def _child(variant: str, n: int) -> None:
 
     @jax.jit
     def run(carry):
-        return jax.lax.scan(body, carry, xs=None, length=ITERS)[0]
+        carry = jax.lax.scan(body, carry, xs=None, length=ITERS)[0]
+        # Produce the host-fetchable probe INSIDE the program: eager complex
+        # ops (slice/abs of a complex device array) are a separate known
+        # failure mode on this runtime; keep the probe focused on the gather.
+        probe8 = jnp.abs(carry[0][:8]).astype(jnp.float32)
+        return carry, probe8
 
     t0 = time.perf_counter()
-    carry = run((jnp.asarray(x0), jnp.int32(0)))
-    _ = float(np.sum(to_numpy(carry[0][:8])))
+    carry, probe8 = run((jnp.asarray(x0), jnp.int32(0)))
+    _ = float(np.sum(to_numpy(probe8)))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    carry = run(carry)
-    _ = float(np.sum(to_numpy(carry[0][:8])))
+    carry, probe8 = run(carry)
+    _ = float(np.sum(to_numpy(probe8)))
     c = int(to_numpy(carry[1][None])[0])
     elapsed = time.perf_counter() - t0
     assert c == 2 * ITERS, f"executed {c} != {2 * ITERS}"
