@@ -1,73 +1,100 @@
-"""The generalized TDGL equations as pure, jit-able JAX functions.
+"""The generalized TDGL equations as pure, jit-able JAX functions (ELL form).
 
-This is the physics layer: every function here is a pure array -> array map
-with static shapes, suitable for fusion inside a single compiled step. The
-discrete equations follow the reference's finite-volume formulation
-(``/root/reference/docs/background.rst:241-357`` and
-``tdgl/solver/solver.py:383-520``); the implementation is gather-based (ELL
-neighbor tables from :mod:`tdgl_tpu.fv.operators`) instead of SciPy sparse
-matvecs.
+This is the physics layer for unstructured meshes: every function here is a
+pure array -> array map with static shapes, suitable for fusion inside a
+single compiled step. The discrete equations follow the reference's
+finite-volume formulation (``/root/reference/docs/background.rst:241-357``
+and ``tdgl/solver/solver.py:383-520``); the implementation is gather-based
+(ELL neighbor tables from :mod:`tdgl_tpu.fv.operators`) instead of SciPy
+sparse matvecs.
+
+Split-complex pair layout
+-------------------------
+
+Complex-valued fields are represented as REAL arrays with a trailing
+``re/im`` axis of length 2 (``psi``: ``(N, 2)``, link variables ``U``:
+``(E, 2)``) — never as a complex dtype. The TPU runtime in this
+environment cannot run complex64 programs at all (every complex-typed
+scan/gather/elementwise program fails with ``UNIMPLEMENTED``; measured in
+``tools/complex_op_probe.py``), while the same arithmetic written out over
+f32 pairs runs fine at 100k+ sites — and the paired gather ``x[(N,K)]`` of
+an ``(N, 2)`` array is measurably FASTER than a single-plane f32 gather
+(1.75 vs 2.4 ms at 25k sites) because both components arrive in one
+gather. The structured-grid twin (:mod:`gtdgl_stencil`) uses the same
+split-complex algebra over separate planes.
 
 Conventions:
 
-* ``psi`` is complex on sites, ``mu`` real on sites.
+* ``psi`` is a ``(N, 2)`` re/im pair on sites, ``mu`` real on sites.
 * Edge quantities (supercurrent, normal current, A) live on the canonical
   edge orientation ``r[edges[:,1]] - r[edges[:,0]]``.
-* ``U_e = exp(-i A.e_direction)`` is the spatial link variable; the directed
-  phase from site i to neighbor j is ``U_e`` if the edge's canonical
-  direction points i -> j, else ``conj(U_e)``.
+* ``U_e = exp(-i A.e_direction)`` is the spatial link variable, stored as
+  the pair ``(cos, -sin)``; the directed phase from site i to neighbor j
+  is ``U_e`` if the edge's canonical direction points i -> j, else
+  ``conj(U_e)``.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 
-def _gather_complex(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather a complex array through integer indices, split-complex.
+def pack(z: jax.Array) -> jax.Array:
+    """Complex array -> ``(..., 2)`` re/im pair (host/test convenience)."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
 
-    The TPU runtime in this environment reproducibly faults on large
-    complex-dtype gathers (the round-2 ~50k-site ELL fence) while the same
-    gather over float32 data is fine at 100k+ sites
-    (``tools/ell_fault_probe.py``). Stack re/im into a trailing axis of a
-    real array, gather once, and recombine — bit-exact equal to ``x[idx]``.
+
+def unpack(pair: jax.Array) -> jax.Array:
+    """``(..., 2)`` re/im pair -> complex array (host/test convenience).
+
+    Do not use inside TPU-bound programs — the whole point of the pair
+    layout is that no complex dtype ever reaches the compiled program.
     """
-    if not jnp.iscomplexobj(x):
-        return x[idx]
-    s = jnp.stack([x.real, x.imag], axis=-1)[idx]
-    return jax.lax.complex(s[..., 0], s[..., 1])
+    return jax.lax.complex(pair[..., 0], pair[..., 1])
 
 
 def edge_link_phases(A_edge: jax.Array, edge_directions: jax.Array) -> jax.Array:
-    """Link variables ``U_e = exp(-i A(r_e) . e)`` for each edge.
+    """Link variables ``U_e = exp(-i A(r_e) . e)`` as ``(E, 2)`` pairs.
 
     Args:
         A_edge: ``(E, 2)`` vector potential at edge centers.
         edge_directions: ``(E, 2)`` unnormalized edge vectors.
     """
     a = jnp.sum(A_edge * edge_directions, axis=1)
-    return jax.lax.complex(jnp.cos(a), -jnp.sin(a))
+    return jnp.stack([jnp.cos(a), -jnp.sin(a)], axis=-1)
 
 
 def covariant_laplacian(op, U: jax.Array, psi: jax.Array) -> jax.Array:
-    """Covariant Laplacian ``(nabla - iA)^2 psi`` on sites.
+    """Covariant Laplacian ``(nabla - iA)^2 psi`` on sites, ``(N, 2)``.
 
     ``(L psi)_i = (1/a_i) sum_j (w_ij) (U_ij psi_j - psi_i)`` with
     ``w_ij = dual_len/edge_len`` (``background.rst: laplacian-psi``).
     Rows for fixed (terminal) sites become identity rows, matching the
     reference's Dirichlet handling (``operators.py:170-181``).
     """
-    U_slot = _gather_complex(U, op.nbr_edge)
-    U_dir = jnp.where(op.nbr_sign > 0, U_slot, U_slot.conj())
-    psi_nbr = _gather_complex(psi, op.nbr_site)
-    w = op.w_lap.astype(psi.real.dtype)
-    lap = (jnp.sum(w * (U_dir * psi_nbr), axis=1)
-           - psi * op.w_lap_rowsum.astype(psi.real.dtype))
-    fixed = op.fixed_mask.astype(psi.real.dtype)
-    return (1.0 - fixed) * lap + fixed * psi
+    rdt = psi.dtype
+    U_slot = U[op.nbr_edge]                  # (N, K, 2) paired f32 gather
+    ur = U_slot[..., 0]
+    # conj for slots whose canonical edge points j -> i: sign flips im.
+    ui = U_slot[..., 1] * op.nbr_sign.astype(rdt)
+    psi_nbr = psi[op.nbr_site]               # (N, K, 2)
+    pr_n = psi_nbr[..., 0]
+    pi_n = psi_nbr[..., 1]
+    w = op.w_lap.astype(rdt)
+    rowsum = op.w_lap_rowsum.astype(rdt)
+    pr = psi[..., 0]
+    pi = psi[..., 1]
+    lap_r = jnp.sum(w * (ur * pr_n - ui * pi_n), axis=1) - pr * rowsum
+    lap_i = jnp.sum(w * (ur * pi_n + ui * pr_n), axis=1) - pi * rowsum
+    fixed = op.fixed_mask.astype(rdt)
+    return jnp.stack(
+        [(1.0 - fixed) * lap_r + fixed * pr,
+         (1.0 - fixed) * lap_i + fixed * pi],
+        axis=-1,
+    )
 
 
 def scalar_laplacian_sym(op, x: jax.Array) -> jax.Array:
@@ -91,12 +118,14 @@ def gradient_on_edges(op, x: jax.Array) -> jax.Array:
 def supercurrent_on_edges(op, U: jax.Array, psi: jax.Array) -> jax.Array:
     """Gauge-invariant supercurrent ``J_s = Im[psi_i^* (U psi_j - psi_i)]/e``
     on edges (reference ``operators.py:385-394``)."""
-    e0 = op.edges[:, 0]
-    e1 = op.edges[:, 1]
-    psi0 = _gather_complex(psi, e0)
-    psi1 = _gather_complex(psi, e1)
-    grad = (U * psi1 - psi0) / op.edge_lengths.astype(psi.real.dtype)
-    return (psi0.conj() * grad).imag
+    rdt = psi.dtype
+    psi0 = psi[op.edges[:, 0]]               # (E, 2) paired gathers
+    psi1 = psi[op.edges[:, 1]]
+    ur, ui = U[..., 0], U[..., 1]
+    inv_len = 1.0 / op.edge_lengths.astype(rdt)
+    grad_r = (ur * psi1[..., 0] - ui * psi1[..., 1] - psi0[..., 0]) * inv_len
+    grad_i = (ur * psi1[..., 1] + ui * psi1[..., 0] - psi0[..., 1]) * inv_len
+    return psi0[..., 0] * grad_i - psi0[..., 1] * grad_r
 
 
 def divergence_on_sites(op, F_edge: jax.Array) -> jax.Array:
@@ -138,9 +167,9 @@ def edge_quantity_to_sites(op, F_edge: jax.Array, n_sites: int) -> jax.Array:
 
 
 class PsiUpdateResult(NamedTuple):
-    psi: jax.Array
-    abs_sq_psi: jax.Array
-    ok: jax.Array  # scalar bool: discriminant nonnegative everywhere
+    psi: jax.Array          # (N, 2) re/im pair
+    abs_sq_psi: jax.Array   # (N,)
+    ok: jax.Array           # scalar bool: discriminant nonnegative everywhere
 
 
 def implicit_euler_psi(
@@ -154,7 +183,7 @@ def implicit_euler_psi(
     u: float,
     dt: jax.Array,
 ) -> PsiUpdateResult:
-    """One implicit-Euler update of the order parameter.
+    """One implicit-Euler update of the order parameter (split complex).
 
     Solves the closed-form quadratic for ``|psi^{n+1}|^2``
     (``background.rst: quad-root``):
@@ -167,34 +196,41 @@ def implicit_euler_psi(
     ``psi^{n+1} = w - z |psi^{n+1}|^2``.
 
     ``ok`` is False if the discriminant is negative anywhere (time step too
-    large; caller retries with smaller dt).
+    large; caller retries with smaller dt). Same algebra as the structured
+    twin :func:`gtdgl_stencil.implicit_euler_psi`.
     """
     # NOTE: dt stays a (possibly weak-typed) scalar; eager jnp.asarray of a
     # python float would create a 0-d device constant, which some backends
     # cannot fetch during lowering.
+    pr = psi[..., 0]
+    pi = psi[..., 1]
     phase = mu * dt
-    U_t = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-    z = U_t * (0.5 * gamma**2) * psi
+    tr = jnp.cos(phase)
+    ti = -jnp.sin(phase)   # U_t = tr + i ti
+    half_g2 = 0.5 * gamma**2
+    # z = U_t (gamma^2/2) psi
+    zr = half_g2 * (tr * pr - ti * pi)
+    zi = half_g2 * (tr * pi + ti * pr)
     lap = covariant_laplacian(op, U, psi)
-    w = z * abs_sq_psi + U_t * (
-        psi
-        + (dt / u)
-        * jnp.sqrt(1.0 + gamma**2 * abs_sq_psi)
-        * ((epsilon - abs_sq_psi) * psi + lap)
-    )
-    c = w.real * z.real + w.imag * z.imag
+    coeff = (dt / u) * jnp.sqrt(1.0 + gamma**2 * abs_sq_psi)
+    gr = pr + coeff * ((epsilon - abs_sq_psi) * pr + lap[..., 0])
+    gi = pi + coeff * ((epsilon - abs_sq_psi) * pi + lap[..., 1])
+    # w = z |psi|^2 + U_t g
+    wr = zr * abs_sq_psi + tr * gr - ti * gi
+    wi = zi * abs_sq_psi + tr * gi + ti * gr
+    c = wr * zr + wi * zi
     two_c_1 = 2.0 * c + 1.0
-    w2 = jnp.abs(w) ** 2
+    w2 = wr * wr + wi * wi
     # The textbook discriminant (2c+1)^2 - 4|z|^2|w|^2 suffers catastrophic
     # cancellation in float32 (both terms are O(gamma^4)). Using
     # c^2 - |z|^2|w|^2 = Re(conj(w) z)^2 - |conj(w) z|^2 = -Im(conj(w) z)^2,
     # it equals 1 + 4c - 4 Im(conj(w) z)^2 exactly — no large squares.
-    im_wz = w.real * z.imag - w.imag * z.real
+    im_wz = wr * zi - wi * zr
     discriminant = 1.0 + 4.0 * c - 4.0 * im_wz**2
     ok = jnp.all(discriminant >= 0.0)
     sqrt_disc = jnp.sqrt(jnp.maximum(discriminant, 0.0))
     new_sq = (2.0 * w2) / (two_c_1 + sqrt_disc)
-    new_psi = w - z * new_sq
+    new_psi = jnp.stack([wr - zr * new_sq, wi - zi * new_sq], axis=-1)
     return PsiUpdateResult(new_psi, new_sq, ok)
 
 

@@ -962,15 +962,12 @@ class TDGLSolver:
                 np.float32,
             ),
         )
-        # Build complex psi ON DEVICE from two real transfers: the axon
-        # TPU tunnel cannot transfer complex arrays host->device (hangs),
-        # and this is the only complex host->device boundary in the solver.
-        # (With the ELL fence active the parts are committed to the CPU
-        # first, so the complex build runs there too.)
-        psi_dev = jax.jit(
-            lambda re, im: (re + 1j * im).astype(self.cdtype)
-        )(self._put(np.ascontiguousarray(np.real(psi), dtype=rd)),
-          self._put(np.ascontiguousarray(np.imag(psi), dtype=rd)))
+        # The ELL state stores psi as an (N, 2) re/im pair — no complex
+        # dtype anywhere (the TPU runtime cannot run complex64 programs and
+        # the tunnel hangs on complex host->device transfers; see
+        # models/gtdgl.py).
+        psi_dev = np.ascontiguousarray(
+            np.stack([np.real(psi), np.imag(psi)], axis=-1), dtype=rd)
         return self._put(SolverState(
             psi=psi_dev,
             mu=jnp.asarray(mu),

@@ -39,7 +39,9 @@ from ..ops.screening import induced_vector_potential
 class SolverState(NamedTuple):
     """The full device-resident solver state (a pytree)."""
 
-    psi: jax.Array              # (N,) complex
+    psi: jax.Array              # (N, 2) re/im pair (split complex; the TPU
+                                # runtime cannot run complex64 programs —
+                                # see models/gtdgl.py)
     mu: jax.Array               # (N,)
     mu_prev: jax.Array          # (N,) — previous step's mu (solve predictor)
     supercurrent: jax.Array     # (E,)
@@ -103,8 +105,8 @@ def export_state_arrays(state: "SolverState"):
     buffers.
     """
     return dict(
-        psi_real=state.psi.real,
-        psi_imag=state.psi.imag,
+        psi_real=state.psi[..., 0],
+        psi_imag=state.psi[..., 1],
         mu=state.mu,
         supercurrent=state.supercurrent,
         normal_current=state.normal_current,
@@ -301,7 +303,7 @@ def make_step_fn(cfg: StepConfig):
                        if cfg.mu_boundary_fn is not None
                        else state.mu_boundary)
 
-        old_sq = jnp.abs(state.psi) ** 2
+        old_sq = jnp.sum(state.psi * state.psi, axis=-1)
         dt0 = state.tentative_dt
 
         def tdgl_update(psi_in, mu_in, A_induced, dt, fixed_iters=None,
@@ -491,7 +493,7 @@ def make_step_fn(cfg: StepConfig):
             dt=dt_used,
             time=time + dt_used,
             mu_probe=mu_n[probe_ix],
-            theta_probe=jnp.angle(psi_n[probe_ix]),
+            theta_probe=jnp.arctan2(psi_n[probe_ix, 1], psi_n[probe_ix, 0]),
             screening_iterations=screening_iters,
             cg_iterations=cg_iters,
             valid=np.int32(1),

@@ -51,9 +51,10 @@ def test_laplacian_matches_scipy(mesh, op):
     expected = L @ psi
     jop = _device_op(op)
     U_jax = gtdgl.edge_link_phases(jnp.asarray(A_edge), jop.edge_directions)
-    np.testing.assert_allclose(np.asarray(U_jax), U, atol=1e-12)
-    got = gtdgl.covariant_laplacian(jop, U_jax, jnp.asarray(psi))
-    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gtdgl.unpack(U_jax)), U, atol=1e-12)
+    got = gtdgl.covariant_laplacian(jop, U_jax, gtdgl.pack(jnp.asarray(psi)))
+    np.testing.assert_allclose(np.asarray(gtdgl.unpack(got)), expected,
+                               atol=1e-10)
 
 
 def test_divergence_matches_scipy(mesh, op):
@@ -68,13 +69,13 @@ def test_divergence_matches_scipy(mesh, op):
 def test_laplacian_row_sums_zero(op):
     """The Neumann Laplacian (no link, no fixed rows) annihilates constants."""
     n = len(op.areas)
-    ones = jnp.ones(n, dtype=jnp.complex128)
+    ones = gtdgl.pack(jnp.ones(n, dtype=jnp.complex128))
     op_nofix = op._replace(fixed_mask=np.zeros(n),
                            fixed_sites=np.array([], dtype=np.int32))
     jop = _device_op(op_nofix)
-    U = jnp.ones(len(op.edges), dtype=jnp.complex128)
+    U = gtdgl.pack(jnp.ones(len(op.edges), dtype=jnp.complex128))
     out = gtdgl.covariant_laplacian(jop, U, ones)
-    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gtdgl.unpack(out)), 0.0, atol=1e-10)
 
 
 def test_div_grad_equals_laplacian(mesh, op):
@@ -92,8 +93,8 @@ def test_div_grad_equals_laplacian(mesh, op):
 def test_supercurrent_zero_for_uniform_psi(op):
     """A uniform order parameter with A=0 carries no supercurrent."""
     jop = _device_op(op)
-    psi = jnp.ones(len(op.areas), dtype=jnp.complex128)
-    U = jnp.ones(len(op.edges), dtype=jnp.complex128)
+    psi = gtdgl.pack(jnp.ones(len(op.areas), dtype=jnp.complex128))
+    U = gtdgl.pack(jnp.ones(len(op.edges), dtype=jnp.complex128))
     J = gtdgl.supercurrent_on_edges(jop, U, psi)
     np.testing.assert_allclose(np.asarray(J), 0.0, atol=1e-12)
 
@@ -104,8 +105,9 @@ def test_supercurrent_phase_gradient(mesh, op):
     sites = mesh.sites
     psi = np.exp(1j * q * sites[:, 0])
     jop = _device_op(op)
-    U = jnp.ones(len(op.edges), dtype=jnp.complex128)
-    J = np.asarray(gtdgl.supercurrent_on_edges(jop, U, jnp.asarray(psi)))
+    U = gtdgl.pack(jnp.ones(len(op.edges), dtype=jnp.complex128))
+    J = np.asarray(gtdgl.supercurrent_on_edges(jop, U,
+                                               gtdgl.pack(jnp.asarray(psi))))
     # J_e should approximate q * cos(angle of edge with x)
     dirs = op.edge_directions / np.linalg.norm(op.edge_directions, axis=1,
                                                keepdims=True)
@@ -180,14 +182,15 @@ def test_psi_update_preserves_equilibrium(op):
     op_nofix = op._replace(fixed_mask=np.zeros(n),
                            fixed_sites=np.array([], dtype=np.int32))
     jop = _device_op(op_nofix)
-    psi = jnp.ones(n, dtype=jnp.complex128)
-    U = jnp.ones(len(op.edges), dtype=jnp.complex128)
+    psi = gtdgl.pack(jnp.ones(n, dtype=jnp.complex128))
+    U = gtdgl.pack(jnp.ones(len(op.edges), dtype=jnp.complex128))
     result = gtdgl.implicit_euler_psi(
-        jop, U, psi, jnp.abs(psi) ** 2, jnp.zeros(n), jnp.ones(n),
+        jop, U, psi, jnp.sum(psi * psi, axis=-1), jnp.zeros(n), jnp.ones(n),
         gamma=10.0, u=5.79, dt=0.1,
     )
     assert bool(result.ok)
-    np.testing.assert_allclose(np.asarray(result.psi), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gtdgl.unpack(result.psi)), 1.0,
+                               atol=1e-12)
     np.testing.assert_allclose(np.asarray(result.abs_sq_psi), 1.0, atol=1e-12)
 
 
@@ -203,21 +206,27 @@ def test_psi_update_relaxes_to_equilibrium(op):
     op_nofix = op._replace(fixed_mask=np.zeros(n),
                            fixed_sites=np.array([], dtype=np.int32))
     jop = _device_op(op_nofix)
-    psi = jnp.asarray(0.5 * np.ones(n) + 0.01 * rng.normal(size=n) + 0j)
-    U = jnp.ones(len(op.edges), dtype=jnp.complex128)
+    psi = gtdgl.pack(
+        jnp.asarray(0.5 * np.ones(n) + 0.01 * rng.normal(size=n) + 0j)
+    )
+    U = gtdgl.pack(jnp.ones(len(op.edges), dtype=jnp.complex128))
     eps = jnp.ones(n)
     mu = jnp.zeros(n)
-    err0 = float(jnp.abs(jnp.abs(psi) - 1).max())
+
+    def amp(p):
+        return jnp.sqrt(jnp.sum(p * p, axis=-1))
+
+    err0 = float(jnp.abs(amp(psi) - 1).max())
     # dt must respect the explicit-Laplacian diffusion limit dt ~< u h^2 / 4.
     step = jax.jit(
         lambda psi: gtdgl.implicit_euler_psi(
-            jop, U, psi, jnp.abs(psi) ** 2, mu, eps, gamma=0.0, u=5.79,
-            dt=0.02,
+            jop, U, psi, jnp.sum(psi * psi, axis=-1), mu, eps, gamma=0.0,
+            u=5.79, dt=0.02,
         )
     )
     for _ in range(2500):
         res = step(psi)
         psi = res.psi
     assert bool(res.ok)
-    err1 = float(jnp.abs(jnp.abs(psi) - 1).max())
+    err1 = float(jnp.abs(amp(psi) - 1).max())
     assert err1 < 1e-6 < err0

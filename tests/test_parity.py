@@ -20,6 +20,12 @@ from oracle import (  # tests/ dir is on sys.path under pytest
 )
 
 
+def _psi_complex(state_psi):
+    """ELL-state psi is a split-complex ``(N, 2)`` re/im pair."""
+    p = to_numpy(state_psi)
+    return (p[..., 0] + 1j * p[..., 1]).astype(complex)
+
+
 def _run_parity(device, total_steps, dt, applied_field_mT=0.0,
                 terminal_currents=None, rtol=1e-6):
     options = tdgl.SolverOptions(
@@ -49,7 +55,7 @@ def _run_parity(device, total_steps, dt, applied_field_mT=0.0,
         mu_boundary=to_numpy(state.mu_boundary),
         fix_psi=len(solver.host_op.fixed_sites) > 0,
     )
-    psi_ref = to_numpy(state.psi).astype(complex)
+    psi_ref = _psi_complex(state.psi)
     mu_ref = to_numpy(state.mu).astype(float)
 
     chunk = solver.chunk_size
@@ -137,7 +143,7 @@ def test_adaptive_dt_parity(box_device):
         max_solve_retries=options.max_solve_retries,
         multiplier=options.adaptive_time_step_multiplier,
     )
-    psi_ref = to_numpy(state.psi).astype(complex)
+    psi_ref = _psi_complex(state.psi)
     mu_ref = to_numpy(state.mu).astype(float)
 
     chunk = solver.chunk_size
@@ -282,7 +288,7 @@ def test_screening_fixed_point_parity():
         beta=options.screening_step_drag,
         max_iterations_per_step=options.max_iterations_per_step,
     )
-    psi_ref = to_numpy(state.psi).astype(complex)
+    psi_ref = _psi_complex(state.psi)
     mu_ref = to_numpy(state.mu).astype(float)
     A_ind_ref = np.zeros_like(to_numpy(state.A_induced))
 

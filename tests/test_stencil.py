@@ -6,6 +6,7 @@ against SciPy sparse matrices in ``test_operators.py``, making this a full
 chain back to the textbook definitions.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -83,8 +84,10 @@ def test_gradient_and_supercurrent_parity(backends):
 
     A = rng.normal(size=(maps.n_edges, 2)) * 0.3
     psi = rng.normal(size=maps.n_sites) + 1j * rng.normal(size=maps.n_sites)
-    U = np.asarray(gtdgl.edge_link_phases(A, op.edge_directions))
-    want_J = np.asarray(gtdgl.supercurrent_on_edges(op, U, psi))
+    U = gtdgl.edge_link_phases(A, op.edge_directions)
+    want_J = np.asarray(
+        gtdgl.supercurrent_on_edges(op, U, gtdgl.pack(jnp.asarray(psi)))
+    )
 
     A_grid = maps.edge_to_grid(A)
     U = gtdgl_stencil.edge_link_phases(sten, A_grid)
@@ -101,8 +104,10 @@ def test_covariant_laplacian_parity(backends):
     mesh, op, sten, maps, rng = backends
     A = rng.normal(size=(maps.n_edges, 2)) * 0.3
     psi = rng.normal(size=maps.n_sites) + 1j * rng.normal(size=maps.n_sites)
-    U = np.asarray(gtdgl.edge_link_phases(A, op.edge_directions))
-    want = np.asarray(gtdgl.covariant_laplacian(op, U, psi))
+    U = gtdgl.edge_link_phases(A, op.edge_directions)
+    want = np.asarray(gtdgl.unpack(
+        gtdgl.covariant_laplacian(op, U, gtdgl.pack(jnp.asarray(psi)))
+    ))
 
     U = gtdgl_stencil.edge_link_phases(sten, maps.edge_to_grid(A))
     lr, li = gtdgl_stencil.covariant_laplacian(
@@ -159,8 +164,9 @@ def test_implicit_euler_parity(backends):
     eps = np.ones(maps.n_sites)
     gamma, u, dt = 10.0, 5.79, 1e-3
 
-    U = np.asarray(gtdgl.edge_link_phases(A, op.edge_directions))
-    want = gtdgl.implicit_euler_psi(op, U, psi, sq, mu, eps, gamma, u, dt)
+    U = gtdgl.edge_link_phases(A, op.edge_directions)
+    want = gtdgl.implicit_euler_psi(op, U, gtdgl.pack(jnp.asarray(psi)), sq,
+                                    mu, eps, gamma, u, dt)
 
     U = gtdgl_stencil.edge_link_phases(sten, maps.edge_to_grid(A))
     got = gtdgl_stencil.implicit_euler_psi(
@@ -172,7 +178,8 @@ def test_implicit_euler_parity(backends):
     got_psi = (maps.grid_to_site(np.asarray(got.psi_r))
                + 1j * maps.grid_to_site(np.asarray(got.psi_i)))
     assert bool(got.ok) == bool(want.ok)
-    assert np.allclose(got_psi, np.asarray(want.psi), atol=1e-10)
+    assert np.allclose(got_psi, np.asarray(gtdgl.unpack(want.psi)),
+                       atol=1e-10)
     assert np.allclose(maps.grid_to_site(np.asarray(got.abs_sq_psi)),
                        np.asarray(want.abs_sq_psi), atol=1e-10)
 

@@ -114,8 +114,8 @@ def run_variant(variant: str, target_sites: int, iters: int,
 
     A = state.A_applied
     U = gtdgl.edge_link_phases(A, op.edge_directions)
-    psi = state.psi
-    sq = jnp.abs(psi) ** 2
+    psi = state.psi  # (N, 2) split-complex pair
+    sq = jnp.sum(psi * psi, axis=-1)
     mu = state.mu
     eps = state.epsilon
     dt = np.float32(cfg.dt_init)
@@ -145,7 +145,7 @@ def run_variant(variant: str, target_sites: int, iters: int,
             return fetch_scalar(s.real, c)
     elif variant == "psi_update":
         def fn(p):
-            res = gtdgl.implicit_euler_psi(op, U, p, jnp.abs(p) ** 2, mu,
+            res = gtdgl.implicit_euler_psi(op, U, p, jnp.sum(p * p, axis=-1), mu,
                                            eps, cfg.gamma, cfg.u, dt)
             return res.psi
         init = psi
