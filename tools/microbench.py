@@ -38,7 +38,7 @@ VARIANTS = (
 )
 
 
-def build_problem(target_sites: int):
+def build_problem(target_sites: int, nofence: bool = False):
     import tdgl_tpu as tdgl
     from tdgl_tpu.solver.solver import TDGLSolver
 
@@ -57,6 +57,7 @@ def build_problem(target_sites: int):
     options = tdgl.SolverOptions(
         solve_time=1e9, dt_init=1e-4, dt_max=1e-2, save_every=500,
         field_units="mT", current_units="uA", dtype="float32",
+        unstructured_tpu_site_limit=(None if nofence else 30_000),
     )
     solver = TDGLSolver(device, options, applied_vector_potential=0.5)
     return solver
@@ -90,7 +91,7 @@ def timed_scan(fn, init_carry, iters: int, fetch):
 
 
 def run_variant(variant: str, target_sites: int, iters: int,
-                cpu: bool = False) -> dict:
+                cpu: bool = False, nofence: bool = False) -> dict:
     import jax
 
     if cpu:
@@ -104,7 +105,7 @@ def run_variant(variant: str, target_sites: int, iters: int,
     from tdgl_tpu.ops.cg import cg_solve, solve_mu_poisson
     from tdgl_tpu.utils.jaxio import to_numpy
 
-    solver = build_problem(target_sites)
+    solver = build_problem(target_sites, nofence=nofence)
     op = solver.op
     cfg = solver.cfg
     state = solver._initial_state()
@@ -239,6 +240,8 @@ def main():
     ap.add_argument("--sites", type=int, default=25_000)
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--timeout", type=int, default=600)
+    ap.add_argument("--nofence", action="store_true",
+                    help="disable the unstructured-TPU site-limit fence")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (in-process config)")
     args = ap.parse_args()
@@ -253,6 +256,8 @@ def main():
                        str(args.iters)]
                 if args.cpu:
                     cmd.append("--cpu")
+                if args.nofence:
+                    cmd.append("--nofence")
                 proc = subprocess.run(
                     cmd, capture_output=True, text=True,
                     timeout=args.timeout,
@@ -273,7 +278,8 @@ def main():
 
     if not args.variant:
         ap.error("--variant or --all required")
-    result = run_variant(args.variant, args.sites, args.iters, cpu=args.cpu)
+    result = run_variant(args.variant, args.sites, args.iters,
+                         cpu=args.cpu, nofence=args.nofence)
     print(json.dumps(result), flush=True)
 
 
