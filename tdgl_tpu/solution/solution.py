@@ -230,7 +230,10 @@ class Solution:
         K_mag = K.to(
             f"{self.current_units} / {device.length_units}"
         ).magnitude
-        mz = np.sum(0.5 * np.cross(sites, K_mag) * areas)
+        # z component of r x K (np.cross on 2-vectors is deprecated in
+        # NumPy 2.0).
+        cross_z = sites[:, 0] * K_mag[:, 1] - sites[:, 1] * K_mag[:, 0]
+        mz = np.sum(0.5 * cross_z * areas)
         m = Quantity.from_units(
             mz, f"{self.current_units} * {device.length_units}"
         ) * ureg(device.length_units)
