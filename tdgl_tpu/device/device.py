@@ -12,7 +12,7 @@ import logging
 import numbers
 import os
 import time
-from contextlib import nullcontext
+from contextlib import contextmanager, nullcontext
 from operator import attrgetter, itemgetter
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
 
@@ -334,12 +334,49 @@ class Device:
             new.probe_points = point_func(np.asarray(new.probe_points, float))
         return new
 
-    def translate(self, dx: float = 0, dy: float = 0) -> "Device":
-        """Return a copy translated by ``(dx, dy)``."""
-        return self._transformed(
-            lambda p: p.translate(dx, dy),
-            lambda pts: pts + np.array([dx, dy]),
-        )
+    def translate(self, dx: float = 0, dy: float = 0, dz: float = 0,
+                  inplace: bool = False) -> "Device":
+        """Translate the device by ``(dx, dy)`` (and the layer by ``dz``).
+
+        With ``inplace=False`` (default) returns a translated copy without
+        a mesh (call ``make_mesh()`` on it). With ``inplace=True`` the
+        device — including an existing mesh, which a translation shifts
+        exactly (an isometry: areas/lengths are unchanged) — is modified
+        and returned, matching the reference
+        (``tdgl/device/device.py:468-504``).
+        """
+        if not inplace:
+            new = self._transformed(
+                lambda p: p.translate(dx, dy),
+                lambda pts: pts + np.array([dx, dy]),
+            )
+            if dz:
+                new.layer.z0 += dz
+            return new
+        for polygon in self.polygons:
+            polygon.translate(dx, dy)
+        if self.probe_points is not None:
+            self.probe_points = (
+                np.asarray(self.probe_points, dtype=float)
+                + np.array([dx, dy])
+            )
+        if dz:
+            self.layer.z0 += dz
+        if self.mesh is not None:
+            xi = self.layer.coherence_length
+            self.mesh.translate_in_place(np.array([dx, dy]) / xi)
+        return self
+
+    @contextmanager
+    def translation(self, dx: float, dy: float, dz: float = 0):
+        """Context manager that temporarily translates the device
+        in-place, then returns it to its original position (reference
+        parity: ``tdgl/device/device.py:505-521``)."""
+        try:
+            self.translate(dx, dy, dz=dz, inplace=True)
+            yield
+        finally:
+            self.translate(-dx, -dy, dz=-dz, inplace=True)
 
     def rotate(self, degrees: float,
                origin: Tuple[float, float] = (0, 0)) -> "Device":
@@ -570,6 +607,35 @@ class Device:
             return html
 
     # -- plotting ----------------------------------------------------------------
+    @property
+    def patches(self) -> Dict[str, "object"]:
+        """``{polygon_name: matplotlib PathPatch}`` for visualizing the
+        device, with hole interiors cut out of their enclosing polygons
+        (reference parity: ``tdgl/device/device.py:684-708``)."""
+        from matplotlib.patches import PathPatch
+        from matplotlib.path import Path
+
+        hole_names = {hole.name for hole in self.holes}
+        patches = {}
+        for polygon in self.polygons:
+            if polygon.name in hole_names:
+                continue
+            coords = polygon.points.tolist()
+            codes = [Path.LINETO] * len(coords)
+            codes[0] = Path.MOVETO
+            codes[-1] = Path.CLOSEPOLY
+            for hole in self.holes:
+                if polygon.contains_points(hole.points).all():
+                    # CW sub-path cuts the hole out of the CCW outer ring.
+                    hole_coords = hole.points.tolist()[::-1]
+                    hole_codes = [Path.LINETO] * len(hole_coords)
+                    hole_codes[0] = Path.MOVETO
+                    hole_codes[-1] = Path.CLOSEPOLY
+                    coords.extend(hole_coords)
+                    codes.extend(hole_codes)
+            patches[polygon.name] = PathPatch(Path(coords, codes))
+        return patches
+
     def plot(self, ax=None, legend: bool = True, figsize=None,
              mesh: bool = False, mesh_kwargs=None, **kwargs):
         """Plot the device geometry (and optionally the mesh)."""

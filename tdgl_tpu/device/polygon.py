@@ -114,6 +114,32 @@ class Polygon:
         self._points = coords
 
     @property
+    def path(self):
+        """A ``matplotlib.path.Path`` for the closed polygon boundary
+        (reference parity: ``tdgl/device/polygon.py:111-114``)."""
+        from matplotlib.path import Path
+
+        return Path(self._points, closed=True)
+
+    @property
+    def polygon(self):
+        """A shapely ``Polygon``, if shapely is installed (reference
+        parity: ``tdgl/device/polygon.py:106-109``). tdgl_tpu itself does
+        not depend on shapely — geometry queries are native: use
+        ``points`` / ``path`` / ``contains_points`` / ``on_boundary`` and
+        the ``union`` / ``intersection`` / ``difference`` operations."""
+        try:
+            from shapely import geometry as geo
+        except ImportError as exc:
+            raise ImportError(
+                "Polygon.polygon returns a shapely Polygon, but shapely is"
+                " not installed (tdgl_tpu does not require it). Use"
+                " .points, .path, .contains_points, or the boolean ops"
+                " instead."
+            ) from exc
+        return geo.Polygon(self._points)
+
+    @property
     def is_valid(self) -> bool:
         """True if the polygon is a valid simple polygon with nonzero area."""
         try:

@@ -102,6 +102,54 @@ class Mesh:
             np.argmin(np.linalg.norm(self.sites - np.atleast_2d(xy), axis=1))
         )
 
+    def translate_in_place(self, offset) -> "Mesh":
+        """Shift every stored coordinate by ``offset`` (a 2-vector).
+
+        A translation is an isometry: areas, edge lengths, directions, and
+        dual-edge lengths are unchanged; only positions (sites, dual
+        sites, edge centers, Voronoi cell vertices, structured-grid
+        origin) move.
+        """
+        offset = np.asarray(offset, dtype=float).reshape(1, 2)
+        self.sites = self.sites + offset
+        if self.dual_sites is not None:
+            self.dual_sites = self.dual_sites + offset
+        if self.edge_mesh is not None:
+            self.edge_mesh.centers = self.edge_mesh.centers + offset
+        if self._voronoi_polygons is not None:
+            self._voronoi_polygons = [
+                p + offset for p in self._voronoi_polygons
+            ]
+        self._center_of_mass = None
+        if self.grid is not None:
+            import dataclasses
+
+            self.grid = dataclasses.replace(
+                self.grid,
+                origin=(
+                    self.grid.origin[0] + float(offset[0, 0]),
+                    self.grid.origin[1] + float(offset[0, 1]),
+                ),
+            )
+        return self
+
+    @staticmethod
+    def compute_voronoi_areas_polygons(
+        sites: np.ndarray,
+        elements: np.ndarray,
+        dual_sites: np.ndarray,
+        edge_mesh,
+        boundary_indices: np.ndarray,
+    ):
+        """Voronoi cell areas and CCW cell vertices for each site
+        (reference parity: ``tdgl/finite_volume/mesh.py:168-201``)."""
+        areas = voronoi_site_areas(sites, elements, dual_sites)
+        polygons = build_voronoi_polygons(
+            sites, elements, dual_sites, edge_mesh.edges,
+            edge_mesh.boundary_edge_indices, np.asarray(boundary_indices),
+        )
+        return areas, polygons
+
     @staticmethod
     def from_triangulation(
         sites: np.ndarray,
