@@ -50,3 +50,27 @@ def cdist(
     if metric == "euclidean":
         np.sqrt(out, out=out)
     return out
+
+
+def sqeuclidean_distance_2d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances between 2D point sets (reference
+    parity: ``tdgl/distance.py:5-14``)."""
+    return cdist(XA, XB, metric="sqeuclidean")
+
+
+def sqeuclidean_distance_3d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances between 3D point sets (reference
+    parity: ``tdgl/distance.py:17-27``)."""
+    return cdist(XA, XB, metric="sqeuclidean")
+
+
+def euclidean_distance_2d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Euclidean distances between 2D point sets (reference parity:
+    ``tdgl/distance.py:30-39``)."""
+    return cdist(XA, XB, metric="euclidean")
+
+
+def euclidean_distance_3d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Euclidean distances between 3D point sets (reference parity:
+    ``tdgl/distance.py:42-52``)."""
+    return cdist(XA, XB, metric="euclidean")
