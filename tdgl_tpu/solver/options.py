@@ -252,6 +252,18 @@ class SolverOptions:
     # for speed-over-accuracy scans where a 0.4% field error is
     # acceptable.
     link_phase_bf16: bool = False
+    # Write a full-state checkpoint (group "checkpoint" in the output
+    # file, overwritten at every snapshot) from which a run can be resumed
+    # EXACTLY via solve(..., resume_from=path): the checkpoint carries the
+    # complete device-resident state pytree (psi, mu and its predictor,
+    # currents, induced/applied A, the adaptive-dt window, time/step), so
+    # the resumed trajectory is step-for-step identical to an
+    # uninterrupted run. This goes beyond the reference, whose only warm
+    # restart (seed_solution) re-seeds psi/mu but loses the integrator
+    # state (``tdgl/solver/solver.py:113,732-752``). Costs one extra
+    # host fetch of the state per snapshot; disable for maximum-throughput
+    # runs that never need resuming.
+    save_checkpoints: bool = True
     # Enable jax's persistent compilation cache (per-user directory,
     # ~/.cache/tdgl_tpu/jax_cache) when constructing a solver: the
     # production chunk program takes minutes to compile on TPU cold, and

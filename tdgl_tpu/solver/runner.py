@@ -153,6 +153,20 @@ class DataHandler:
             for key, value in running_state.items():
                 rs_grp[key] = np.squeeze(np.asarray(value))
 
+    def save_checkpoint(self, arrays: Dict[str, np.ndarray],
+                        attrs: Dict[str, object]) -> None:
+        """Overwrite the single ``checkpoint`` group with the full solver
+        state (see ``SolverOptions.save_checkpoints`` /
+        ``solve(resume_from=...)``). Only the latest checkpoint is kept."""
+        f = self.output_file
+        if "checkpoint" in f:
+            del f["checkpoint"]
+        grp = f.create_group("checkpoint")
+        for key, value in arrays.items():
+            grp[key] = np.asarray(value)
+        for key, value in attrs.items():
+            grp.attrs[key] = value
+
 
 class RunningState:
     """Per-step scalar buffer between snapshots (cf. reference
@@ -223,6 +237,8 @@ class Runner:
         monitor: bool = False,
         monitor_update_interval: float = 1.0,
         logger: Optional[logging.Logger] = None,
+        checkpoint_meta: Optional[Dict[str, object]] = None,
+        resume: bool = False,
     ):
         self.chunk_fn = chunk_fn
         self.state = initial_state
@@ -237,6 +253,8 @@ class Runner:
         self.host_update_fn = host_update_fn
         self.monitor = monitor
         self.monitor_update_interval = monitor_update_interval
+        self.checkpoint_meta = checkpoint_meta
+        self.resume = resume
         self.logger = logger or logging.getLogger(__name__)
         self.running_state = RunningState(
             running_names_and_sizes, options.save_every
@@ -265,7 +283,12 @@ class Runner:
         import jax.numpy as jnp
 
         options = self.options
-        if options.skip_time:
+        if options.skip_time and self.resume:
+            self.logger.warning(
+                "skip_time is ignored when resuming from a checkpoint"
+                " (the checkpointed run already thermalized)."
+            )
+        if options.skip_time and not self.resume:
             ok = self._run_stage("Thermalizing", options.skip_time,
                                  save=False)
             if not ok:
@@ -298,6 +321,22 @@ class Runner:
         self.data_handler.save_time_step(
             attrs, self.state_to_arrays(exported), running_state
         )
+
+    def _save_checkpoint(self) -> None:
+        """Fetch the full device state and overwrite the file's single
+        ``checkpoint`` group (exact-resume support). 0-d fields (time,
+        step, dts, flags) go to attrs; arrays to datasets."""
+        if not self.options.save_checkpoints or self.checkpoint_meta is None:
+            return
+        state_np = tree_to_numpy(self.state)._asdict()
+        arrays, attrs = {}, dict(self.checkpoint_meta)
+        for name, value in state_np.items():
+            value = np.asarray(value)
+            if value.ndim == 0:
+                attrs[name] = value.item()
+            else:
+                arrays[name] = value
+        self.data_handler.save_checkpoint(arrays, attrs)
 
     def _start_monitor(self) -> None:
         if self.data_handler.tmp_file is not None:
@@ -379,6 +418,7 @@ class Runner:
                                              or n_valid < self.chunk_size):
                         self._save_snapshot(dict(self.running_state.values))
                         self.running_state.clear()
+                        self._save_checkpoint()
                     if done or n_valid < self.chunk_size:
                         break
                 except KeyboardInterrupt:

@@ -16,6 +16,7 @@ def solve(
     terminal_currents: Union[Callable, Dict[str, float], None] = None,
     disorder_epsilon: Union[Callable, float] = 1.0,
     seed_solution=None,
+    resume_from: Optional[str] = None,
 ):
     """Solve a TDGL model.
 
@@ -30,6 +31,10 @@ def solve(
         disorder_epsilon: The local critical-temperature parameter
             epsilon(r[, t]) <= 1.
         seed_solution: A previous Solution to use as the initial state.
+        resume_from: Path to a previous run's output file: restores the
+            run EXACTLY from its ``checkpoint`` group (full device state,
+            including the adaptive-dt integrator state) and continues to
+            ``options.solve_time``. See ``SolverOptions.save_checkpoints``.
 
     Returns:
         A :class:`tdgl_tpu.Solution` (or None if cancelled during
@@ -43,4 +48,4 @@ def solve(
         disorder_epsilon=disorder_epsilon,
         seed_solution=seed_solution,
     )
-    return solver.solve()
+    return solver.solve(resume_from=resume_from)

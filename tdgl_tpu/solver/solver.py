@@ -22,6 +22,7 @@ import numbers
 from datetime import datetime
 from typing import Callable, Dict, NamedTuple, Optional, Sequence, Union
 
+import h5py
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1080,9 +1081,135 @@ class TDGLSolver:
         return data
 
     # -- main entry point ----------------------------------------------------------
-    def solve(self):
+    def _mesh_fingerprint(self) -> str:
+        """SHA1 of the dimensionless mesh geometry (sites + elements).
+
+        Stored in every checkpoint and verified on resume: padded grid
+        shapes alone can coincide for different meshes, so a shape check
+        cannot catch resuming onto the wrong geometry."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(self.mesh.sites, np.float64).tobytes())
+        h.update(np.ascontiguousarray(self.mesh.elements, np.int64).tobytes())
+        return h.hexdigest()
+
+    def _resume_state(self, resume_from: str, template):
+        """Load the ``checkpoint`` group of a previous run's output file and
+        return ``(state, initial_export)`` reproducing that run's exact
+        device state (see ``SolverOptions.save_checkpoints``). The solver
+        must be constructed with the same mesh, dtype, and backend as the
+        checkpointed run; every mismatch raises a ``ValueError``."""
+        with h5py.File(resume_from, "r") as f:
+            if "checkpoint" not in f:
+                raise ValueError(
+                    f"{resume_from!r} contains no checkpoint: the run was"
+                    " saved with save_checkpoints=False, was cancelled"
+                    " during thermalization, or predates checkpoint"
+                    " support."
+                )
+            grp = f["checkpoint"]
+            backend = grp.attrs.get("backend", "")
+            expected = "grid" if self.structured else "ell"
+            if backend != expected:
+                raise ValueError(
+                    f"Checkpoint backend {backend!r} does not match this"
+                    f" solver's {expected!r} (make_mesh(structured="
+                    f"{'True' if backend == 'grid' else 'False'}) to"
+                    " match)."
+                )
+            fingerprint = grp.attrs.get("mesh_fingerprint", "")
+            if fingerprint != self._mesh_fingerprint():
+                raise ValueError(
+                    "Checkpoint mesh does not match this solver's mesh:"
+                    " resuming requires the SAME device and mesh as the"
+                    " checkpointed run (site/element fingerprint differs)."
+                )
+            fields = {}   # host numpy values, keyed by state field name
+            for name in template._fields:
+                tmpl = getattr(template, name)
+                if name in ("done", "failed", "end_time"):
+                    continue  # reset below / set per stage by the runner
+                if name in grp:
+                    arr = np.asarray(grp[name])
+                    if tuple(arr.shape) != tuple(tmpl.shape):
+                        raise ValueError(
+                            f"Checkpoint field {name!r} has shape"
+                            f" {arr.shape}, expected {tuple(tmpl.shape)}:"
+                            " resuming requires the same device, mesh, and"
+                            " options as the checkpointed run."
+                        )
+                    if np.dtype(arr.dtype) != np.dtype(tmpl.dtype):
+                        raise ValueError(
+                            f"Checkpoint field {name!r} has dtype"
+                            f" {arr.dtype}, expected {np.dtype(tmpl.dtype)}:"
+                            " resume with the same SolverOptions.dtype as"
+                            " the checkpointed run."
+                        )
+                    fields[name] = arr
+                elif name in grp.attrs:
+                    fields[name] = np.asarray(
+                        grp.attrs[name], dtype=np.dtype(tmpl.dtype)
+                    )
+                else:
+                    raise ValueError(
+                        f"Checkpoint is missing state field {name!r}."
+                    )
+            time_val = float(grp.attrs["time"])
+            if time_val >= self.options.solve_time:
+                raise ValueError(
+                    f"The checkpoint is already at t = {time_val:.6g} >="
+                    f" solve_time = {self.options.solve_time}: raise"
+                    " solve_time to continue the run."
+                )
+        state = self._put(template._replace(
+            **{k: jnp.asarray(v) for k, v in fields.items()},
+            done=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        ))
+        # Host view of the resumed state for the step-0 snapshot.
+        rd = self.rdtype
+        if self.structured:
+            psi_real = np.asarray(fields["psi_r"])
+            psi_imag = np.asarray(fields["psi_i"])
+        else:
+            psi_pair = np.asarray(fields["psi"])
+            psi_real = psi_pair[..., 0]
+            psi_imag = psi_pair[..., 1]
+        export = dict(
+            psi_real=psi_real,
+            psi_imag=psi_imag,
+            mu=np.asarray(fields["mu"]),
+            supercurrent=np.asarray(fields["supercurrent"]),
+            normal_current=np.asarray(fields["normal_current"]),
+            induced_vector_potential=np.asarray(fields["A_induced"]),
+            applied_vector_potential=np.asarray(fields["A_applied"]),
+            epsilon=np.asarray(fields["epsilon"]).astype(rd),
+            diagnostics=np.array(
+                [float(fields["time"]), float(fields["prev_dt"]),
+                 float(fields["tentative_dt"]), float(fields["step"]),
+                 0.0, 0.0],
+                np.float32,
+            ),
+        )
+        return state, export
+
+    def solve(self, resume_from: Optional[str] = None):
         """Run the simulation; returns a :class:`tdgl_tpu.Solution` (or None
-        if cancelled during thermalization)."""
+        if cancelled during thermalization).
+
+        Args:
+            resume_from: Path to a previous run's output file. The solver
+                state is restored EXACTLY from that file's ``checkpoint``
+                group (written at every snapshot when
+                ``SolverOptions.save_checkpoints`` is on), so the continued
+                trajectory is step-for-step identical to an uninterrupted
+                run; output goes to this run's own ``output_file`` and the
+                time axis continues from the checkpoint. Preemption-safe
+                long runs: checkpoint + resume_from. (The reference's only
+                warm restart, ``seed_solution``, re-seeds fields but loses
+                the integrator state.)
+        """
         from ..solution.solution import Solution
 
         start_time = datetime.now()
@@ -1097,6 +1224,14 @@ class TDGLSolver:
             running["screening_iterations"] = 1
 
         state = self._initial_state()
+        if resume_from is not None:
+            if self.seed_solution is not None:
+                raise ValueError(
+                    "Pass either seed_solution or resume_from, not both."
+                )
+            state, self._initial_export = self._resume_state(
+                resume_from, state
+            )
         fixed = {}
         if not self.dynamic_vector_potential:
             fixed["applied_vector_potential"] = self.current_A_applied
@@ -1129,6 +1264,11 @@ class TDGLSolver:
                 monitor=options.monitor,
                 monitor_update_interval=options.monitor_update_interval,
                 logger=logger,
+                checkpoint_meta={
+                    "backend": "grid" if self.structured else "ell",
+                    "mesh_fingerprint": self._mesh_fingerprint(),
+                },
+                resume=(resume_from is not None),
             )
             data_was_generated = runner.run()
             end_time = datetime.now()

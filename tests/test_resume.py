@@ -1,0 +1,138 @@
+"""Exact mid-run resume (checkpoint + ``solve(resume_from=...)``).
+
+This capability goes beyond the reference, whose only warm restart
+(``seed_solution``, ``tdgl/solver/solver.py:113,732-752``) re-seeds the
+fields but loses the integrator state (adaptive dt, dt window, step/time).
+The checkpoint carries the COMPLETE device state pytree, so a resumed run
+must reproduce an uninterrupted run step for step.
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import tdgl_tpu as tdgl
+from tdgl_tpu.geometry import box
+
+
+def _device(structured: bool, min_points=900):
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1, conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(15)).resample(200)
+    device = tdgl.Device("resume", layer=layer, film=film,
+                         length_units="um")
+    device.make_mesh(min_points=min_points, structured=structured)
+    return device
+
+
+def _options(solve_time, path, **kwargs):
+    return tdgl.SolverOptions(
+        solve_time=solve_time,
+        dt_init=1e-4,
+        dt_max=1e-2,
+        save_every=100,
+        field_units="mT",
+        current_units="uA",
+        output_file=path,
+        dtype="float64",   # exact comparison across runs
+        **kwargs,
+    )
+
+
+@pytest.mark.parametrize("structured", [True, False],
+                         ids=["grid", "ell"])
+def test_resume_reproduces_uninterrupted_run(tmp_path, structured):
+    device = _device(structured)
+    A = 0.4  # strong enough for vortex dynamics (adaptive dt active)
+
+    # Uninterrupted run to t = 8.
+    full = tdgl.solve(
+        device, _options(8.0, str(tmp_path / "full.h5")),
+        applied_vector_potential=A,
+    )
+
+    # Interrupted at t = 4, then resumed to t = 8.
+    part = tdgl.solve(
+        device, _options(4.0, str(tmp_path / "part.h5")),
+        applied_vector_potential=A,
+    )
+    with h5py.File(part.path, "r") as f:
+        assert "checkpoint" in f
+        ckpt_step = int(f["checkpoint"].attrs["step"])
+        assert ckpt_step > 0
+    resumed = tdgl.solve(
+        device, _options(8.0, str(tmp_path / "resumed.h5")),
+        applied_vector_potential=A,
+        resume_from=part.path,
+    )
+
+    # The resumed trajectory must continue EXACTLY: identical final state.
+    psi_full = full.tdgl_data.psi
+    psi_res = resumed.tdgl_data.psi
+    np.testing.assert_array_equal(psi_res, psi_full)
+    np.testing.assert_array_equal(resumed.tdgl_data.mu, full.tdgl_data.mu)
+    assert resumed.tdgl_data.state["step"] == full.tdgl_data.state["step"]
+    assert resumed.tdgl_data.state["time"] == full.tdgl_data.state["time"]
+    assert resumed.tdgl_data.state["dt"] == full.tdgl_data.state["dt"]
+    # Snapshot attrs carry ABSOLUTE time, continuing from the checkpoint
+    # (the dynamics dt-cumsum axis restarts at 0, matching the reference's
+    # own per-stage convention).
+    with h5py.File(resumed.path, "r") as f:
+        assert f["data/0"].attrs["time"] == pytest.approx(4.0, abs=0.2)
+        assert f["data/0"].attrs["step"] == ckpt_step
+
+
+def test_resume_requires_checkpoint(tmp_path):
+    device = _device(structured=True)
+    sol = tdgl.solve(
+        device,
+        _options(1.0, str(tmp_path / "nock.h5"), save_checkpoints=False),
+        applied_vector_potential=0.2,
+    )
+    with h5py.File(sol.path, "r") as f:
+        assert "checkpoint" not in f
+    with pytest.raises(ValueError, match="no checkpoint"):
+        tdgl.solve(
+            device, _options(2.0, str(tmp_path / "res.h5")),
+            applied_vector_potential=0.2,
+            resume_from=sol.path,
+        )
+
+
+def test_resume_rejects_mismatched_mesh(tmp_path):
+    device = _device(structured=True)
+    sol = tdgl.solve(
+        device, _options(1.0, str(tmp_path / "a.h5")),
+        applied_vector_potential=0.2,
+    )
+    other = _device(structured=True, min_points=2000)
+    with pytest.raises(ValueError, match="shape|fingerprint"):
+        tdgl.solve(
+            other, _options(2.0, str(tmp_path / "b.h5")),
+            applied_vector_potential=0.2,
+            resume_from=sol.path,
+        )
+    # Backend mismatch is caught before shapes.
+    ell = _device(structured=False)
+    with pytest.raises(ValueError, match="backend"):
+        tdgl.solve(
+            ell, _options(2.0, str(tmp_path / "c.h5")),
+            applied_vector_potential=0.2,
+            resume_from=sol.path,
+        )
+
+
+def test_resume_rejects_finished_run(tmp_path):
+    device = _device(structured=True)
+    sol = tdgl.solve(
+        device, _options(1.0, str(tmp_path / "d.h5")),
+        applied_vector_potential=0.2,
+    )
+    with pytest.raises(ValueError, match="solve_time"):
+        tdgl.solve(
+            device, _options(1.0, str(tmp_path / "e.h5")),
+            applied_vector_potential=0.2,
+            resume_from=sol.path,
+        )
