@@ -75,6 +75,10 @@ class SolverOptions:
             writing a TensorBoard-compatible XLA trace to this directory
             (device timelines, HLO cost breakdowns). TPU-native replacement
             for the reference's cProfile-based tracing.
+        save_checkpoints: Overwrite a full-state ``checkpoint`` group in
+            the output file at every snapshot, enabling exact mid-run
+            resume via ``solve(resume_from=path)`` (see the field comment
+            below).
     """
 
     solve_time: float
