@@ -166,6 +166,9 @@ class DataHandler:
             grp[key] = np.asarray(value)
         for key, value in attrs.items():
             grp.attrs[key] = value
+        # Flush so the checkpoint survives a hard kill (preemption/crash):
+        # an HDF5 file whose writer died between flushes can be unreadable.
+        f.flush()
 
 
 class RunningState:

@@ -136,3 +136,71 @@ def test_resume_rejects_finished_run(tmp_path):
             applied_vector_potential=0.2,
             resume_from=sol.path,
         )
+
+
+def test_resume_after_hard_kill(tmp_path):
+    """SIGKILL the solver mid-run (simulated preemption) and resume from
+    the partial file: the per-checkpoint flush must leave a readable
+    checkpoint even though the writer never closed the file."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    out = tmp_path / "killed.h5"
+    script = textwrap.dedent(f"""
+        import jax; jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import tdgl_tpu as tdgl
+        from tdgl_tpu.geometry import box
+        layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                           thickness=0.1, conductivity=10.0)
+        film = tdgl.Polygon("film", points=box(15)).resample(200)
+        device = tdgl.Device("kill", layer=layer, film=film,
+                             length_units="um")
+        device.make_mesh(min_points=900, structured=True)
+        options = tdgl.SolverOptions(
+            solve_time=1e5, dt_init=1e-4, dt_max=1e-2, save_every=50,
+            field_units="mT", current_units="uA", dtype="float64",
+            output_file={str(out)!r},
+        )
+        tdgl.solve(device, options, applied_vector_potential=0.4)
+    """)
+    repo_root = os.path.dirname(os.path.dirname(tdgl.__file__))
+    env = dict(os.environ, PYTHONPATH=repo_root, MPLBACKEND="Agg")
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            cwd=str(tmp_path), env=env)
+    # Wait for at least two flushed checkpoints, then kill hard. The
+    # writer holds the HDF5 lock, so peek with locking disabled (torn
+    # reads are retried).
+    deadline = time.time() + 240
+    seen_step = 0
+    while time.time() < deadline:
+        if out.exists():
+            try:
+                with h5py.File(out, "r", locking=False) as f:
+                    if "checkpoint" in f:
+                        seen_step = int(f["checkpoint"].attrs["step"])
+            except (OSError, KeyError):
+                pass  # writer mid-flush; retry
+        if seen_step >= 100:
+            break
+        time.sleep(0.5)
+    assert proc.poll() is None, "solver exited before it could be killed"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=60)
+    assert seen_step >= 100, "never saw a checkpoint before the deadline"
+
+    with h5py.File(out, "r") as f:
+        ckpt_step = int(f["checkpoint"].attrs["step"])
+        ckpt_time = float(f["checkpoint"].attrs["time"])
+    device = _device(structured=True)
+    resumed = tdgl.solve(
+        device,
+        _options(ckpt_time + 1.0, str(tmp_path / "continued.h5")),
+        applied_vector_potential=0.4,
+        resume_from=str(out),
+    )
+    assert int(resumed.tdgl_data.state["step"]) > ckpt_step
+    assert float(resumed.tdgl_data.state["time"]) >= ckpt_time + 1.0
