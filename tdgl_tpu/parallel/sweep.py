@@ -55,6 +55,7 @@ class SweepResult:
     steps: np.ndarray
     failed: np.ndarray = None  # (B,) bool — per-member failure flags
     times: np.ndarray = None   # (B,) final simulation times
+    solutions: Optional[List] = None  # per-member Solutions (output_dir=)
 
     def mean_voltages(self, i: int = 0, j: int = 1,
                       tmin: float = 0.0) -> np.ndarray:
@@ -69,6 +70,95 @@ class SweepResult:
             v = self.dynamics_mu[b, i] - self.dynamics_mu[b, j]
             out[b] = np.average(v[mask], weights=dt[mask]) if mask.any() else 0.0
         return out
+
+
+def _scale_applied(applied, s: float):
+    """The effective applied-vector-potential input of a field-sweep
+    member: ``s * applied``. Works for numbers, Parameters (operator
+    algebra), and plain callables (closure wrap; cloudpickle-able)."""
+    import numbers
+
+    if isinstance(applied, numbers.Number):
+        return applied * s
+    try:
+        return applied * s
+    except TypeError:
+        return lambda *args, _f=applied, _s=s, **kw: (
+            _s * np.asarray(_f(*args, **kw))
+        )
+
+
+def _write_member_solutions(
+    output_dir: str, solver, device, options, exported, scales, steps,
+    dyn_dt, dyn_mu, dyn_theta, applied_vector_potential, terminal_currents,
+    disorder_epsilon, field_sweep: bool, dynamic_currents: bool,
+):
+    """Write each sweep member's final state as a standalone output file in
+    the standard schema and return the corresponding Solutions."""
+    import os
+
+    import h5py
+
+    from ..solution.solution import Solution
+
+    os.makedirs(output_dir, exist_ok=True)
+    solutions = []
+    for b in range(len(scales)):
+        member = {k: np.asarray(v[b]) for k, v in exported.items()}
+        data = solver._state_to_arrays(member)
+        # The standalone file must be self-contained: include the (possibly
+        # fixed) applied potential and disorder, converted off the grid.
+        if "applied_vector_potential" not in data:
+            ap = member["applied_vector_potential"]
+            data["applied_vector_potential"] = (
+                solver.maps.grid_to_edge(ap) if solver.structured else ap
+            )
+        if "epsilon" not in data:
+            eps = member["epsilon"]
+            data["epsilon"] = (
+                solver.maps.grid_to_site(eps) if solver.structured else eps
+            )
+        n_b = int(steps[b])
+        diag = member["diagnostics"]
+        path = os.path.join(output_dir, f"member_{b:03d}.h5")
+        with h5py.File(path, "x") as f:
+            solver.mesh.to_hdf5(f.create_group("mesh"))
+            grp = f.create_group("data").create_group("0")
+            grp.attrs["step"] = n_b
+            grp.attrs["time"] = float(diag[0])
+            grp.attrs["dt"] = float(dyn_dt[b, n_b - 1]) if n_b else 0.0
+            for key, value in data.items():
+                grp[key] = np.asarray(value)
+            rs = grp.create_group("running_state")
+            rs["dt"] = dyn_dt[b, :n_b]
+            if dyn_mu.shape[1]:  # probe points present
+                rs["mu"] = np.squeeze(dyn_mu[b, :, :n_b])
+                rs["theta"] = np.squeeze(dyn_theta[b, :, :n_b])
+        s = float(scales[b])
+        if field_sweep:
+            A_b = _scale_applied(applied_vector_potential, s)
+            tc_b = terminal_currents
+        else:
+            A_b = applied_vector_potential
+            if dynamic_currents:
+                tc_b = (lambda t, _f=terminal_currents, _s=s:
+                        {k: v * _s for k, v in _f(t).items()})
+            elif terminal_currents:
+                tc_b = {k: v * s for k, v in terminal_currents.items()}
+            else:
+                tc_b = None
+        solution = Solution(
+            device=device,
+            path=path,
+            options=options,
+            applied_vector_potential=A_b,
+            terminal_currents=tc_b,
+            disorder_epsilon=disorder_epsilon,
+            total_seconds=0.0,
+        )
+        solution.to_hdf5()
+        solutions.append(solution)
+    return solutions
 
 
 def _make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -90,6 +180,7 @@ def solve_sweep(
     mesh: Optional[Mesh] = None,
     max_steps: Optional[int] = None,
     raise_on_failure: bool = True,
+    output_dir: Optional[str] = None,
 ) -> SweepResult:
     """Run a batch of TDGL solves in parallel across devices.
 
@@ -116,6 +207,12 @@ def solve_sweep(
             (discriminant-retry exhaustion / screening non-convergence).
             When False, failures are reported in ``SweepResult.failed``
             instead.
+        output_dir: If given, write each member's final state to
+            ``{output_dir}/member_{b:03d}.h5`` in the standard output
+            schema and return full :class:`tdgl_tpu.Solution` objects in
+            ``SweepResult.solutions`` — every sweep member then works with
+            the whole analysis/plotting/CLI stack (fluxoids, currents
+            through paths, ``python -m tdgl_tpu.visualize``, ...).
 
     Returns:
         A :class:`SweepResult`.
@@ -295,6 +392,18 @@ def solve_sweep(
         mu_final = exported["mu"]
         sc = exported["supercurrent"]
         nc = exported["normal_current"]
+    steps_taken = exported["diagnostics"][:, 3].astype(int)
+    dyn_mu = np.transpose(mu_p, (0, 2, 1))
+    dyn_theta = np.transpose(th_p, (0, 2, 1))
+    solutions = None
+    if output_dir is not None:
+        solutions = _write_member_solutions(
+            output_dir, solver, device, options, exported, scales,
+            steps_taken, dt, dyn_mu, dyn_theta, applied_vector_potential,
+            terminal_currents, disorder_epsilon,
+            field_sweep=(field_scales is not None),
+            dynamic_currents=dynamic_currents,
+        )
     return SweepResult(
         values=scales,
         psi=psi,
@@ -302,9 +411,10 @@ def solve_sweep(
         supercurrent=sc,
         normal_current=nc,
         dynamics_dt=dt,
-        dynamics_mu=np.transpose(mu_p, (0, 2, 1)),
-        dynamics_theta=np.transpose(th_p, (0, 2, 1)),
-        steps=exported["diagnostics"][:, 3].astype(int),
+        dynamics_mu=dyn_mu,
+        dynamics_theta=dyn_theta,
+        steps=steps_taken,
         failed=failed,
         times=diag[:, 0],
+        solutions=solutions,
     )

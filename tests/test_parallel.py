@@ -316,3 +316,80 @@ def test_spatial_sharding_terminals_adaptive_f32():
     v_b = np.abs(mu_b[:, 0] - mu_b[:, 1]).mean()
     assert v_a > 0
     assert abs(v_a - v_b) / v_a < 5e-2
+
+
+def test_sweep_member_solutions(small_box_device, tmp_path):
+    """output_dir= writes each member's final state in the standard schema
+    and returns full Solutions that work with the analysis stack."""
+    options = tdgl.SolverOptions(
+        solve_time=3, dt_init=1e-4, save_every=200,
+        field_units="uT", current_units="uA",
+    )
+    fields = np.linspace(0, 150, 4)
+    result = solve_sweep(
+        small_box_device,
+        options,
+        applied_vector_potential=tdgl.ConstantField(1.0, field_units="uT"),
+        field_scales=fields,
+        max_steps=20000,
+        output_dir=str(tmp_path / "members"),
+    )
+    assert result.solutions is not None and len(result.solutions) == 4
+    for b, sol in enumerate(result.solutions):
+        # Final fields in the Solution match the SweepResult arrays.
+        np.testing.assert_allclose(sol.tdgl_data.psi, result.psi[b])
+        np.testing.assert_allclose(sol.tdgl_data.mu, result.mu[b])
+        # Analysis stack works per member.
+        m = sol.magnetic_moment(with_units=False)
+        assert np.isfinite(m)
+        if b == 0:
+            assert abs(m) < 1e-6 or abs(m) < abs(
+                result.solutions[-1].magnetic_moment(with_units=False)
+            )
+        # Round trip through the standard loader.
+        reloaded = tdgl.Solution.from_hdf5(sol.path)
+        np.testing.assert_allclose(reloaded.tdgl_data.psi, sol.tdgl_data.psi)
+    # The strongest member is the most diamagnetic.
+    moments = [abs(s.magnetic_moment(with_units=False))
+               for s in result.solutions]
+    assert moments[-1] > moments[0]
+
+
+def test_sweep_member_solutions_current_structured(tmp_path):
+    """Member Solutions on the STRUCTURED backend with scaled callable
+    terminal currents (the grid->mesh conversion branch of the writer)."""
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2, thickness=0.1,
+                       conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(12, 5)).resample(200)
+    source = tdgl.Polygon(points=box(0.5, 5, center=(-6, 0))).set_name(
+        "source")
+    drain = source.copy().scale(xfact=-1).set_name("drain")
+    device = tdgl.Device("bridge", layer=layer, film=film,
+                         terminals=[source, drain],
+                         probe_points=[(-4, 0), (4, 0)])
+    device.make_mesh(min_points=600, structured=True)
+    options = tdgl.SolverOptions(
+        solve_time=3, dt_init=1e-4, save_every=100,
+        field_units="uT", current_units="uA", dt_max=1e-2,
+    )
+
+    def terminal_currents(t):
+        return dict(source=2.0, drain=-2.0)
+
+    result = solve_sweep(
+        device,
+        options,
+        terminal_currents=terminal_currents,
+        current_scales=np.linspace(0.5, 2.0, 4),
+        max_steps=20000,
+        output_dir=str(tmp_path / "bridge_members"),
+    )
+    assert len(result.solutions) == 4
+    for b, sol in enumerate(result.solutions):
+        np.testing.assert_allclose(sol.tdgl_data.psi, result.psi[b])
+        # The per-member dynamics made it into the file.
+        assert sol.dynamics is not None
+        assert len(sol.dynamics.time) == result.steps[b]
+        # The stored terminal currents reflect the member's scale.
+        tc = sol.terminal_currents(0.0)
+        assert tc["source"] == pytest.approx(2.0 * result.values[b])
