@@ -620,14 +620,19 @@ class Device:
         for polygon in self.polygons:
             if polygon.name in hole_names:
                 continue
-            coords = polygon.points.tolist()
+            # Close each ring explicitly: CLOSEPOLY's vertex is a
+            # placeholder, so it must land on a repeated first vertex, not
+            # on a real one.
+            ring = polygon.points.tolist()
+            coords = ring + ring[:1]
             codes = [Path.LINETO] * len(coords)
             codes[0] = Path.MOVETO
             codes[-1] = Path.CLOSEPOLY
             for hole in self.holes:
                 if polygon.contains_points(hole.points).all():
                     # CW sub-path cuts the hole out of the CCW outer ring.
-                    hole_coords = hole.points.tolist()[::-1]
+                    hole_ring = hole.points.tolist()[::-1]
+                    hole_coords = hole_ring + hole_ring[:1]
                     hole_codes = [Path.LINETO] * len(hole_coords)
                     hole_codes[0] = Path.MOVETO
                     hole_codes[-1] = Path.CLOSEPOLY

@@ -116,10 +116,15 @@ class Polygon:
     @property
     def path(self):
         """A ``matplotlib.path.Path`` for the closed polygon boundary
-        (reference parity: ``tdgl/device/polygon.py:111-114``)."""
+        (reference parity: ``tdgl/device/polygon.py:111-114``).
+
+        The ring is explicitly closed first: with ``closed=True``
+        matplotlib treats the LAST vertex as the CLOSEPOLY placeholder, so
+        passing the open ring would silently drop a real vertex."""
         from matplotlib.path import Path
 
-        return Path(self._points, closed=True)
+        return Path(np.vstack([self._points, self._points[:1]]),
+                    closed=True)
 
     @property
     def polygon(self):

@@ -74,12 +74,8 @@ class SweepResult:
 
 def _scale_applied(applied, s: float):
     """The effective applied-vector-potential input of a field-sweep
-    member: ``s * applied``. Works for numbers, Parameters (operator
-    algebra), and plain callables (closure wrap; cloudpickle-able)."""
-    import numbers
-
-    if isinstance(applied, numbers.Number):
-        return applied * s
+    member: ``s * applied``. Numbers and Parameters multiply directly
+    (operator algebra); plain callables get a cloudpickle-able closure."""
     try:
         return applied * s
     except TypeError:
@@ -120,7 +116,21 @@ def _write_member_solutions(
             )
         n_b = int(steps[b])
         diag = member["diagnostics"]
-        path = os.path.join(output_dir, f"member_{b:03d}.h5")
+        # Serial-rename on collision (as DataHandler does) rather than
+        # raising AFTER the whole sweep was solved.
+        serial = None
+        while True:
+            tag = f"-{serial}" if serial is not None else ""
+            path = os.path.join(output_dir, f"member_{b:03d}{tag}.h5")
+            if not os.path.exists(path):
+                break
+            serial = 1 if serial is None else serial + 1
+        if serial is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Member output file already exists; renamed to %s.", path
+            )
         with h5py.File(path, "x") as f:
             solver.mesh.to_hdf5(f.create_group("mesh"))
             grp = f.create_group("data").create_group("0")

@@ -27,6 +27,15 @@ def test_polygon_path(holey_device):
     # The Path agrees with the polygon's own containment test.
     assert path.contains_point((0.0, 0.0))
     assert not path.contains_point((10.0, 10.0))
+    # No vertex is dropped: with closed=True matplotlib treats the LAST
+    # vertex as the CLOSEPOLY placeholder, so the ring must arrive closed.
+    # Probe points near every corner of a bare square (the regression case:
+    # the unclosed ring rendered as a triangle).
+    sq = tdgl.Polygon("sq", points=[[0, 0], [1, 0], [1, 1], [0, 1]])
+    for probe in [(0.1, 0.1), (0.9, 0.1), (0.9, 0.9), (0.1, 0.9)]:
+        assert sq.path.contains_point(probe), probe
+    tri = tdgl.Polygon("tri", points=[[0, 0], [1, 0], [0.5, 1]])
+    assert tri.path.contains_point((0.5, 0.4))
 
 
 def test_polygon_polygon_requires_shapely(holey_device):
@@ -63,6 +72,10 @@ def test_device_patches(holey_device):
     assert polygon_area(inner[:-1]) < 0  # hole ring CW (cut under nonzero)
     assert path.contains_point((0.0, 0.0))        # in film
     assert not path.contains_point((10.0, 10.0))  # outside
+    # Every film corner survives (regression: CLOSEPOLY on a real vertex
+    # dropped one corner from the rendered patch).
+    for probe in [(-3.9, -3.9), (3.9, -3.9), (3.9, 3.9), (-3.9, 3.9)]:
+        assert path.contains_point(probe), probe
 
 
 def test_translate_copy_and_dz(holey_device):

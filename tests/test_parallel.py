@@ -353,6 +353,18 @@ def test_sweep_member_solutions(small_box_device, tmp_path):
     moments = [abs(s.magnetic_moment(with_units=False))
                for s in result.solutions]
     assert moments[-1] > moments[0]
+    # Re-running into the same output_dir must not lose the sweep: files
+    # are serial-renamed (as DataHandler does), not FileExistsError'd.
+    again = solve_sweep(
+        small_box_device,
+        options,
+        applied_vector_potential=tdgl.ConstantField(1.0, field_units="uT"),
+        field_scales=fields,
+        max_steps=20000,
+        output_dir=str(tmp_path / "members"),
+    )
+    assert len(again.solutions) == 4
+    assert again.solutions[0].path != result.solutions[0].path
 
 
 def test_sweep_member_solutions_current_structured(tmp_path):
