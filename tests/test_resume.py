@@ -204,3 +204,35 @@ def test_resume_after_hard_kill(tmp_path):
     )
     assert int(resumed.tdgl_data.state["step"]) > ckpt_step
     assert float(resumed.tdgl_data.state["time"]) >= ckpt_time + 1.0
+
+
+def test_resume_screened_and_traced_A(tmp_path):
+    """Resume with self-consistent screening (A_induced rides in the
+    state) and a TRACED time-dependent applied potential: the continued
+    trajectory matches an uninterrupted run exactly."""
+    import tdgl_tpu.sources as sources
+
+    device = _device(structured=True, min_points=500)
+    A = sources.LinearRamp(tmin=0, tmax=2.0) * sources.ConstantField(
+        0.3, field_units="mT"
+    )
+
+    def run(solve_time, path, resume_from=None):
+        options = tdgl.SolverOptions(
+            solve_time=solve_time, dt_init=1e-4, dt_max=1e-2,
+            save_every=100, field_units="mT", current_units="uA",
+            output_file=path, dtype="float64",
+            include_screening=True, screening_tolerance=1e-3,
+        )
+        return tdgl.solve(device, options, applied_vector_potential=A,
+                          resume_from=resume_from)
+
+    full = run(4.0, str(tmp_path / "sfull.h5"))
+    part = run(2.0, str(tmp_path / "spart.h5"))
+    resumed = run(4.0, str(tmp_path / "sres.h5"), resume_from=part.path)
+    np.testing.assert_array_equal(resumed.tdgl_data.psi, full.tdgl_data.psi)
+    np.testing.assert_array_equal(
+        resumed.tdgl_data.induced_vector_potential,
+        full.tdgl_data.induced_vector_potential,
+    )
+    assert resumed.tdgl_data.state["time"] == full.tdgl_data.state["time"]
