@@ -78,26 +78,26 @@ def edge_link_phases(sten, A_edge: jax.Array) -> LinkPhases:
 class FoldedLinkPhases(NamedTuple):
     """Link variables with the FV weights folded in (static-A fast path).
 
-    ``wur + i wui = w_k U_k`` and ``wurm + i wuim = w_m_k conj-view`` are
-    the *weight-premultiplied* link tables: with a chunk-constant applied
-    potential they are computed once outside the scan, so the covariant
-    Laplacian reads 12 planes instead of 18 (no separate ``w``/``w_m``
-    reads) — the stencil step is HBM-bandwidth bound, so plane reads are
-    the cost model. ``ur``/``ui`` stay raw for the supercurrent. The
-    folded tables may be stored bfloat16 (``fold_link_phases(bf16=True)``):
-    they multiply O(1) psi values, mixed-precision promotion keeps the
-    accumulation in the working dtype, and the weight tables are exact
-    lattice constants except at cut cells, so bf16 storage perturbs the
-    discretization by ~4e-3 relative — gate with the physics tests before
-    enabling by default.
+    ``wur + i wui = w_k U_k`` are the *weight-premultiplied* link tables:
+    with a chunk-constant applied potential they are computed once outside
+    the scan, so the covariant Laplacian reads 6 planes instead of 15 —
+    the stencil step is HBM-bandwidth bound, so plane reads are the cost
+    model. The negative-edge tables are NOT stored: ``w_m[k] U_m[k] ==
+    roll(w[k] U[k])`` exactly (both factors are rolls), so the Laplacian
+    derives the mirrored terms by rolling its positive-edge products
+    (see :func:`covariant_laplacian`). ``ur``/``ui`` stay raw for the
+    supercurrent. The folded tables may be stored bfloat16
+    (``fold_link_phases(bf16=True)``): they multiply O(1) psi values,
+    mixed-precision promotion keeps the accumulation in the working
+    dtype, and the weight tables are exact lattice constants except at
+    cut cells, so bf16 storage perturbs the discretization by ~4e-3
+    relative — gate with the physics tests before enabling by default.
     """
 
     ur: jax.Array    # (3, Rp, Cp) — raw, for the supercurrent
     ui: jax.Array
     wur: jax.Array   # (3, Rp, Cp) — w * U (positive edges)
     wui: jax.Array
-    wurm: jax.Array  # (3, Rp, Cp) — w_m * shifted-conj U (negative edges)
-    wuim: jax.Array
 
 
 def fold_link_phases(sten, U: LinkPhases, bf16: bool = False
@@ -106,15 +106,12 @@ def fold_link_phases(sten, U: LinkPhases, bf16: bool = False
     :class:`FoldedLinkPhases`)."""
     dt = U.ur.dtype
     w = sten.w.astype(dt)
-    wm = sten.w_m.astype(dt)
     store = jnp.bfloat16 if bf16 else dt
     return FoldedLinkPhases(
         ur=U.ur.astype(store),
         ui=U.ui.astype(store),
         wur=(w * U.ur).astype(store),
         wui=(w * U.ui).astype(store),
-        wurm=(wm * U.urm).astype(store),
-        wuim=(wm * U.uim).astype(store),
     )
 
 
@@ -131,29 +128,34 @@ def covariant_laplacian(
     acc_r = jnp.zeros_like(pr)
     acc_i = jnp.zeros_like(pi)
     folded = isinstance(U, FoldedLinkPhases)
+    # Negative-edge terms are derived by rolling the positive-edge
+    # products instead of reading separate shifted weight planes:
+    # ``w_m[k] = roll(w[k])`` and ``urm[k] = roll(ur[k])`` by
+    # construction, so e.g.
+    # ``w_m*(urm*pr_m + uim*pi_m) == shift_m(w*(ur*pr + ui*pi), k)``
+    # **bit-exactly** (the same float products, evaluated pre-roll).
+    # This halves the link/weight plane reads of the HBM-bound psi
+    # update: 6 planes instead of 12 (folded) / 9 instead of 15 (raw).
     for k in range(3):
         pr_p = shift_p(pr, k)
         pi_p = shift_p(pi, k)
-        pr_m = shift_m(pr, k)
-        pi_m = shift_m(pi, k)
         if folded:
             wur = U.wur[k].astype(dt)
             wui = U.wui[k].astype(dt)
             acc_r = acc_r + (wur * pr_p - wui * pi_p)
             acc_i = acc_i + (wur * pi_p + wui * pr_p)
-            wurm = U.wurm[k].astype(dt)
-            wuim = U.wuim[k].astype(dt)
-            acc_r = acc_r + (wurm * pr_m + wuim * pi_m)
-            acc_i = acc_i + (wurm * pi_m - wuim * pr_m)
+            acc_r = acc_r + shift_m(wur * pr + wui * pi, k)
+            acc_i = acc_i + shift_m(wur * pi - wui * pr, k)
         else:
             wk = sten.w[k].astype(dt)
+            ur = U.ur[k].astype(dt)
+            ui = U.ui[k].astype(dt)
             # positive edge: U_k psi_{+k}
-            acc_r = acc_r + wk * (U.ur[k] * pr_p - U.ui[k] * pi_p)
-            acc_i = acc_i + wk * (U.ur[k] * pi_p + U.ui[k] * pr_p)
+            acc_r = acc_r + wk * (ur * pr_p - ui * pi_p)
+            acc_i = acc_i + wk * (ur * pi_p + ui * pr_p)
             # negative edge: conj(U_k at -off) psi_{-off}
-            wm = sten.w_m[k].astype(dt)
-            acc_r = acc_r + wm * (U.urm[k] * pr_m + U.uim[k] * pi_m)
-            acc_i = acc_i + wm * (U.urm[k] * pi_m - U.uim[k] * pr_m)
+            acc_r = acc_r + shift_m(wk * (ur * pr + ui * pi), k)
+            acc_i = acc_i + shift_m(wk * (ur * pi - ui * pr), k)
     diag = sten.sym_diag.astype(dt)
     inv_a = sten.inv_area.astype(dt)
     lap_r = (acc_r - pr * diag) * inv_a
@@ -164,12 +166,21 @@ def covariant_laplacian(
 
 
 def scalar_laplacian_sym(sten, x: jax.Array) -> jax.Array:
-    """Symmetric Neumann Laplacian ``(S x)_i = sum_j w_ij (x_j - x_i)``."""
+    """Symmetric Neumann Laplacian ``(S x)_i = sum_j w_ij (x_j - x_i)``.
+
+    The negative-edge term is derived from the positive-edge weights:
+    ``w_m[k] = roll(w[k])`` by construction (fv/stencil_operators.py), so
+    ``w_m[k] * shift_m(x, k) == shift_m(w[k] * x, k)`` **bit-exactly**
+    (same float products, rolled). Reading 3 weight planes instead of 6
+    matters because the apply is HBM-bandwidth bound and sits inside
+    every MG-CG iteration.
+    """
     dt = x.dtype
     acc = jnp.zeros_like(x)
     for k in range(3):
-        acc = acc + sten.w[k].astype(dt) * shift_p(x, k)
-        acc = acc + sten.w_m[k].astype(dt) * shift_m(x, k)
+        wk = sten.w[k].astype(dt)
+        acc = acc + wk * shift_p(x, k)
+        acc = acc + shift_m(wk * x, k)
     return acc - x * sten.sym_diag.astype(dt)
 
 

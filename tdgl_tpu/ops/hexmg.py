@@ -212,6 +212,55 @@ def _shift_nowrap(x: jax.Array, dr: int, dc: int) -> jax.Array:
                           (max(-dc, 0), max(dc, 0))))
 
 
+def level_apply(mg: HexMGData, lvl: int, x: jax.Array) -> jax.Array:
+    """Offset-stencil matvec at hierarchy level ``lvl``.
+
+    Every level operator here is symmetric (Galerkin products of the
+    symmetric fine operator), which in offset-stencil form means
+    ``W_{-d}[r, c] = W_d[r - dr, c - dc]`` — the negative-offset plane is
+    a zero-filled shift of the positive one. Exploit it: read only the
+    canonical half of the weight planes and derive the mirrored term as
+    ``y += shift_{-d}(W_d ⊙ x)``. The V-cycle is HBM-bound, so halving
+    its weight reads is the dominant lever on its cost (it runs 2-3x per
+    TDGL step inside MG-CG). Uses one shared zero-padded buffer + static
+    slices per offset (a pad per offset bloats the graph and is
+    pathologically slow on CPU).
+    """
+    W = mg.level_arrays[lvl]["W"].astype(x.dtype)
+    offs = mg.offsets[lvl]
+    R, C = x.shape
+    pr = max(max(abs(dr) for dr, _ in offs), 1)
+    pc = max(max(abs(dc) for _, dc in offs), 1)
+    xp = jnp.pad(x, ((pr, pr), (pc, pc)))
+    acc = jnp.zeros_like(x)
+    idx = {o: i for i, o in enumerate(offs)}
+    symmetric = all((-a, -b) in idx for (a, b) in offs)
+    if not symmetric:  # pragma: no cover — SA sparsity is always paired
+        for i, (dr, dc) in enumerate(offs):
+            if dr == 0 and dc == 0:
+                acc = acc + W[i] * x
+            else:
+                acc = acc + W[i] * jax.lax.slice(
+                    xp, (pr + dr, pc + dc), (pr + dr + R, pc + dc + C)
+                )
+        return acc
+    if (0, 0) in idx:
+        acc = acc + W[idx[(0, 0)]] * x
+    canon = [d for d in offs if d > (0, 0)]
+    # One stacked pad for all mirrored products.
+    prods = jnp.stack([W[idx[d]] * x for d in canon])
+    pp = jnp.pad(prods, ((0, 0), (pr, pr), (pc, pc)))
+    for i, (dr, dc) in enumerate(canon):
+        acc = acc + W[idx[(dr, dc)]] * jax.lax.slice(
+            xp, (pr + dr, pc + dc), (pr + dr + R, pc + dc + C)
+        )
+        # y[r, c] += W_{-d}[r, c] x[r-dr, c-dc] = (W_d ⊙ x)[r-dr, c-dc]
+        acc = acc + jax.lax.slice(
+            pp, (i, pr - dr, pc - dc), (i + 1, pr - dr + R, pc - dc + C)
+        )[0]
+    return acc
+
+
 def make_hexmg_apply(amg_omega: float, kappa: float = 1.0,
                      n_smooth: int = 1):
     """Returns the jax V-cycle apply ``(mg, r) -> z`` (bf16 inside).
@@ -222,25 +271,6 @@ def make_hexmg_apply(amg_omega: float, kappa: float = 1.0,
     smoothing pass (V(n,n) cycles — each extra sweep costs one stencil
     apply per level but strengthens the cycle's contraction).
     """
-
-    def level_apply(mg: HexMGData, lvl: int, x: jax.Array) -> jax.Array:
-        # One shared zero-padded buffer + static slices per offset (a pad
-        # per offset bloats the graph and is pathologically slow on CPU).
-        W = mg.level_arrays[lvl]["W"].astype(x.dtype)
-        offs = mg.offsets[lvl]
-        R, C = x.shape
-        pr = max(max(abs(dr) for dr, _ in offs), 1)
-        pc = max(max(abs(dc) for _, dc in offs), 1)
-        xp = jnp.pad(x, ((pr, pr), (pc, pc)))
-        acc = jnp.zeros_like(x)
-        for i, (dr, dc) in enumerate(offs):
-            if dr == 0 and dc == 0:
-                acc = acc + W[i] * x
-            else:
-                acc = acc + W[i] * jax.lax.slice(
-                    xp, (pr + dr, pc + dc), (pr + dr + R, pc + dc + C)
-                )
-        return acc
 
     def block_sum(mg, lvl, r):
         """2x2 block-sum restriction. On TPU this runs as two small MXU

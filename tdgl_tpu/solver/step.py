@@ -189,8 +189,10 @@ class StepConfig:
     screening_eval_fn: Optional[Callable] = None
     # Stencil backend, static-A fast path: premultiply the FV weights into
     # the hoisted link phases (models.gtdgl_stencil.FoldedLinkPhases) so
-    # the covariant Laplacian reads 12 planes/step instead of 18 — plane
-    # reads ARE the cost (HBM-bound). Same math up to f32 rounding order.
+    # the covariant Laplacian reads 6 planes/step instead of 15 (the
+    # negative-edge planes are derived as rolls of the positive-edge
+    # products — exact) — plane reads ARE the cost (HBM-bound). Same math
+    # up to f32 rounding order.
     fold_link_weights: bool = False
     # Store the folded link tables in bfloat16 (halves their read
     # bandwidth; ~4e-3 relative perturbation of the link phases — f32

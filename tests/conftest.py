@@ -20,6 +20,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Deregister any eagerly-registered accelerator plugin backends (the
+# environment's sitecustomize registers a tunneled TPU plugin in every
+# interpreter): with the tunnel in an outage window, merely *initializing*
+# backends can hang the process even though jax_platforms selects cpu —
+# observed 2026-08-18: jnp.asarray blocked >100 s under JAX_PLATFORMS=cpu.
+# Popping the factory before any backend initialization makes CPU test
+# runs immune to tunnel state.
+try:
+    from jax._src import xla_bridge as _xb
+
+    for _plat in list(_xb._backend_factories):
+        if _plat not in ("cpu",):
+            _xb._backend_factories.pop(_plat, None)
+except Exception:  # pragma: no cover — private API may move across jax
+    pass
 # Allow float64 solves in tests (explicit dtypes keep float32 paths float32).
 jax.config.update("jax_enable_x64", True)
 
