@@ -82,6 +82,9 @@ def measure(target_sites: int, attempts: int):
     fold = os.environ.get("TDGL_BENCH_FOLD")
     if fold:  # "0"/"1" force the folded-link-weight fast path
         solver_kwargs.update(fold_link_weights=bool(int(fold)))
+    factor = os.environ.get("TDGL_BENCH_FACTOR")
+    if factor:  # "0"/"1" force the factored (rank-structured) link phases
+        solver_kwargs.update(factor_link_phases=bool(int(factor)))
     if os.environ.get("TDGL_BENCH_LINK_BF16"):
         solver_kwargs.update(link_phase_bf16=True)
     sstep = os.environ.get("TDGL_BENCH_SSTEP")
@@ -350,15 +353,20 @@ def _run_screened_child(target: int) -> dict:
     return {"outcome": f"rc={proc.returncode}", "notes": notes}
 
 
-def _wait_for_backend(attempts_log, max_wait_s: float = 600.0) -> None:
+def _wait_for_backend(attempts_log, max_wait_s: float = None) -> None:
     """Wait (bounded) for the accelerator backend to come up.
 
-    The tunneled TPU backend here has outage windows of minutes; a bench
-    invocation that lands in one would otherwise report 0 for the round.
-    Probe with a tiny dispatch+fetch in a subprocess (a wedged session must
-    not poison the measurement processes) and back off until healthy or
-    the budget is spent. No-op overhead when healthy: one ~15 s probe.
+    The tunneled TPU backend here has outage windows of minutes to HOURS
+    (observed 4+ h on 2026-08-17/18); a bench invocation that lands in one
+    would otherwise report 0 for the round. Probe with a tiny
+    dispatch+fetch in a subprocess (a wedged session must not poison the
+    measurement processes) and back off until healthy or the budget is
+    spent. No-op overhead when healthy: one ~15 s probe. Budget override:
+    ``TDGL_BENCH_BACKEND_WAIT_S`` (default 1800).
     """
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("TDGL_BENCH_BACKEND_WAIT_S",
+                                          "1800"))
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp; import numpy as np;"

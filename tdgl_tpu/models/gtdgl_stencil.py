@@ -115,6 +115,68 @@ def fold_link_phases(sten, U: LinkPhases, bf16: bool = False
     )
 
 
+class FactoredLinkPhases(NamedTuple):
+    """Link variables in separable (rank-structured) form.
+
+    For a *uniform* applied field in the symmetric gauge (and any other
+    vector potential whose edge line integral separates), the per-edge
+    phase on the structured lattice is ``theta_k(r, c) = f_k(r) + g_k(c)``
+    exactly: the edge midpoint's y depends only on the row and its x only
+    on the column plus a row-parity term (absorbed into ``f_k``). The
+    link variables then reconstruct from four O(R)+O(C) trig *vectors*
+    via the angle-addition identities::
+
+        ur_k = cos f ⊗ cos g - sin f ⊗ sin g     (= cos theta)
+        ui_k = -(sin f ⊗ cos g + cos f ⊗ sin g)  (= -sin theta)
+
+    so the HBM-bound hot kernels read NO link planes at all — the psi
+    update reads the 3 raw weight planes and the supercurrent none. The
+    solver enables this automatically when a float64 separability check
+    of the static applied potential passes (see
+    ``TDGLSolver``/``grid_step``); reconstruction agrees with the direct
+    ``cos``/``sin`` evaluation to ~1 ulp of the working dtype.
+    """
+
+    cf: jax.Array  # (3, Rp) — cos f_k(r)
+    sf: jax.Array  # (3, Rp) — sin f_k(r)
+    cg: jax.Array  # (3, Cp) — cos g_k(c)
+    sg: jax.Array  # (3, Cp) — sin g_k(c)
+
+
+def edge_phase_angles(sten, A_edge: jax.Array) -> jax.Array:
+    """Per-edge link phase angles ``a_k = A . e_k`` as ``(3, Rp, Cp)``."""
+    dirs = sten.edge_dirs.astype(A_edge.dtype)
+    return (A_edge[..., 0] * dirs[:, 0, None, None]
+            + A_edge[..., 1] * dirs[:, 1, None, None])
+
+
+def factor_link_phases(sten, A_edge: jax.Array) -> FactoredLinkPhases:
+    """Build :class:`FactoredLinkPhases` from a separable applied potential.
+
+    Splits ``a_k(r, c)`` into ``f_k(r) = a_k(r, 0)`` and ``g_k(c) =
+    a_k(0, c) - a_k(0, 0)``. ONLY valid when the caller has verified
+    separability (``a == f + g``); the solver checks in float64 at init.
+    """
+    a = edge_phase_angles(sten, A_edge)
+    f = a[:, :, 0]                      # (3, Rp)
+    g = a[:, 0, :] - a[:, 0, 0:1]      # (3, Cp)
+    return FactoredLinkPhases(
+        cf=jnp.cos(f), sf=jnp.sin(f), cg=jnp.cos(g), sg=jnp.sin(g),
+    )
+
+
+def _factored_u_k(U: FactoredLinkPhases, k: int, dt):
+    """Reconstruct the (Rp, Cp) link planes ``ur_k``, ``ui_k`` from the
+    factored row/col vectors (angle addition — no transcendentals)."""
+    cf = U.cf[k].astype(dt)[:, None]
+    sf = U.sf[k].astype(dt)[:, None]
+    cg = U.cg[k].astype(dt)[None, :]
+    sg = U.sg[k].astype(dt)[None, :]
+    ur = cf * cg - sf * sg
+    ui = -(sf * cg + cf * sg)
+    return ur, ui
+
+
 def covariant_laplacian(
     sten, U, pr: jax.Array, pi: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -148,8 +210,11 @@ def covariant_laplacian(
             acc_i = acc_i + shift_m(wur * pi - wui * pr, k)
         else:
             wk = sten.w[k].astype(dt)
-            ur = U.ur[k].astype(dt)
-            ui = U.ui[k].astype(dt)
+            if isinstance(U, FactoredLinkPhases):
+                ur, ui = _factored_u_k(U, k, dt)
+            else:
+                ur = U.ur[k].astype(dt)
+                ui = U.ui[k].astype(dt)
             # positive edge: U_k psi_{+k}
             acc_r = acc_r + wk * (ur * pr_p - ui * pi_p)
             acc_i = acc_i + wk * (ur * pi_p + ui * pr_p)
@@ -203,8 +268,13 @@ def supercurrent_on_edges(
     for k in range(3):
         pr_p = shift_p(pr, k)
         pi_p = shift_p(pi, k)
-        grad_r = U.ur[k] * pr_p - U.ui[k] * pi_p - pr
-        grad_i = U.ur[k] * pi_p + U.ui[k] * pr_p - pi
+        if isinstance(U, FactoredLinkPhases):
+            ur, ui = _factored_u_k(U, k, dt)
+        else:
+            ur = U.ur[k].astype(dt)
+            ui = U.ui[k].astype(dt)
+        grad_r = ur * pr_p - ui * pi_p - pr
+        grad_i = ur * pi_p + ui * pr_p - pi
         out.append((pr * grad_i - pi * grad_r) * sten.inv_len[k].astype(dt))
     return jnp.stack(out)
 

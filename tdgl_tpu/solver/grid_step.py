@@ -502,11 +502,18 @@ def make_grid_chunk_fn(cfg: StepConfig, chunk_size: int):
     @jax.jit
     def chunk_fn(sten, screening_weights, amg, state: GridState):
         rdtype = state.mu.dtype
-        static_link = (gs.edge_link_phases(sten, state.A_applied)
-                       if hoist_link else None)
-        if static_link is not None and cfg.fold_link_weights:
-            static_link = gs.fold_link_phases(sten, static_link,
-                                              bf16=cfg.link_bf16)
+        if not hoist_link:
+            static_link = None
+        elif cfg.factor_link_phases:
+            # Separable static A (solver-verified in f64): the link planes
+            # reconstruct in-kernel from four row/col trig vectors — no
+            # link-plane HBM reads in the scan at all.
+            static_link = gs.factor_link_phases(sten, state.A_applied)
+        else:
+            static_link = gs.edge_link_phases(sten, state.A_applied)
+            if cfg.fold_link_weights:
+                static_link = gs.fold_link_phases(sten, static_link,
+                                                  bf16=cfg.link_bf16)
 
         def carry_of(st: GridState):
             c = dict(

@@ -238,6 +238,20 @@ class SolverOptions:
     # on for float32 structured solves (float64 keeps the reference
     # rounding order for the step-for-step oracle parity pins).
     fold_link_weights: Optional[bool] = None
+    # Rank-structured link phases (stencil backend, static applied
+    # potential): when the per-edge phase angle separates as
+    # ``a_k(r, c) = f_k(r) + g_k(c)`` — exactly true for any uniform
+    # applied field in the symmetric gauge on the structured lattice —
+    # the link planes are reconstructed inside the hot kernels from four
+    # O(rows)+O(cols) trig VECTORS (angle addition, no transcendentals),
+    # so the psi update reads only the 3 raw weight planes and the
+    # supercurrent no link planes at all. None = auto: on for float32
+    # structured static-A solves when a float64 separability check of the
+    # applied potential passes (silently falls back to folded planes when
+    # it does not); True on a non-separable potential raises.
+    # Reconstruction agrees with direct cos/sin to ~1 ulp; float64 keeps
+    # the reference rounding order for the oracle parity pins.
+    factor_link_phases: Optional[bool] = None
     # Compute the mu solve's fixed 2-iteration phase as one blocked 2D
     # Krylov (s-step) minimization: mathematically identical to 2 PCG
     # iterations, but the five Gram scalars form ONE independent

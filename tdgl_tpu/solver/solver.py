@@ -702,6 +702,7 @@ class TDGLSolver:
                 " (explicit fold_link_weights=False, or a non-f32/"
                 "non-structured solve)."
             )
+        self._resolve_factor_link_phases(options)
         if self.host_dynamic:
             self.chunk_size = 1
         else:
@@ -818,6 +819,98 @@ class TDGLSolver:
         if self._exec_device is None:
             return tree
         return jax.device_put(tree, self._exec_device)
+
+    def _full_grid_A64(self) -> np.ndarray:
+        """The applied potential at EVERY padded-grid edge center
+        (float64, A0 units) — the smooth extension of
+        ``current_A_applied`` used by the factored-link-phase fast path
+        and its separability check. The structured lattice is affine in
+        the (row, col) indices (``x = x0 + (c + r/2) h``,
+        ``y = y0 + r h sqrt(3)/2`` — device/hexmesh.py), so true edge
+        centers exist at every padded position."""
+        grid = self.mesh.grid
+        h = float(grid.spacing)
+        x0, y0 = float(grid.origin[0]), float(grid.origin[1])
+        dy = h * np.sqrt(3.0) / 2.0
+        Rp, Cp = self.maps.shape
+        rr = np.arange(Rp, dtype=np.float64)[:, None]
+        cc = np.arange(Cp, dtype=np.float64)[None, :]
+        sx = x0 + (cc + 0.5 * rr) * h
+        sy = np.broadcast_to(y0 + rr * dy, sx.shape)
+        # Class offsets in xy (== sten.edge_dirs / h): E, N, NW.
+        offs_xy = np.array([[h, 0.0], [0.5 * h, dy], [-0.5 * h, dy]])
+        xi = float(self.device.layer.coherence_length)
+        ecx = (sx[None] + 0.5 * offs_xy[:, 0][:, None, None]) * xi
+        ecy = (sy[None] + 0.5 * offs_xy[:, 1][:, None, None]) * xi
+        pts_x = ecx.reshape(-1)
+        pts_y = ecy.reshape(-1)
+        z0 = self.device.layer.z0 * np.ones(len(pts_x))
+        A = self.applied_vector_potential(pts_x, pts_y, z0,
+                                          **self._A_kwargs)
+        A = self.A_scale * np.asarray(A, dtype=np.float64)[:, :2]
+        return A.reshape(3, Rp, Cp, 2)
+
+    def _resolve_factor_link_phases(self, options: SolverOptions) -> None:
+        """Resolve ``SolverOptions.factor_link_phases`` (None = auto).
+
+        Auto enables the rank-structured link-phase path on float32
+        structured static-A unscreened solves when the applied potential
+        passes a float64 separability check (max |a - f - g| <= 1e-9
+        relative over the full padded grid); explicit True additionally
+        raises on ineligible configurations or a non-separable potential.
+        Sets ``cfg.factor_link_phases`` (clearing ``fold_link_weights``,
+        which it supersedes) and caches the smooth full-grid applied
+        potential for the state fill.
+        """
+        import dataclasses
+
+        self._full_A_grid = None
+        opt = options.factor_link_phases
+        eligible = (
+            self.structured
+            and not self.dynamic_vector_potential
+            and not options.include_screening
+            and not self.cfg.use_pallas_step
+        )
+        if opt is False or (opt is None and (
+                not eligible or options.dtype != "float32")):
+            return
+        if opt and not eligible:
+            raise SolverOptionsError(
+                "factor_link_phases requires a structured mesh, a static"
+                " (time-independent) applied vector potential, screening"
+                " off, and pallas_step off."
+            )
+        A64 = self._full_grid_A64()
+        dirs = np.asarray(self.host_sten.edge_dirs, np.float64)
+        a = (A64[..., 0] * dirs[:, 0, None, None]
+             + A64[..., 1] * dirs[:, 1, None, None])
+        f = a[:, :, :1]
+        g = a[:, :1, :] - a[:, :1, :1]
+        scale = max(float(np.abs(a).max()), 1e-30)
+        sep_err = float(np.abs(a - (f + g)).max()) / scale
+        if sep_err > 1e-9:
+            if opt:
+                raise SolverOptionsError(
+                    "factor_link_phases=True, but the applied vector"
+                    f" potential is not separable on the lattice (relative"
+                    f" deviation {sep_err:.1e}); use fold_link_weights"
+                    " instead."
+                )
+            logger.info(
+                "factor_link_phases auto-off: applied potential not"
+                " separable (relative deviation %.1e).", sep_err,
+            )
+            return
+        self._full_A_grid = A64
+        self.cfg = dataclasses.replace(
+            self.cfg, factor_link_phases=True, fold_link_weights=False,
+            link_bf16=False,
+        )
+        logger.info(
+            "Factored link phases enabled (separability deviation %.1e).",
+            sep_err,
+        )
 
     # -- host-side evaluation helpers ---------------------------------------
     def _eval_A(self, time: float) -> np.ndarray:
@@ -1000,7 +1093,14 @@ class TDGLSolver:
         e2g = maps.edge_to_grid
         psi_r = s2g(np.ascontiguousarray(np.real(psi), dtype=rd))
         psi_i = s2g(np.ascontiguousarray(np.imag(psi), dtype=rd))
-        A_applied = e2g(self.current_A_applied.astype(rd))
+        if getattr(self, "_full_A_grid", None) is not None:
+            # Factored-link-phase path: fill the WHOLE padded grid with the
+            # smooth applied potential (masked consumers zero invalid edges
+            # via weights/psi), so the in-program row/col factor extraction
+            # reads true values everywhere.
+            A_applied = self._full_A_grid.astype(rd)
+        else:
+            A_applied = e2g(self.current_A_applied.astype(rd))
         mu_b = self._mu_boundary(0.0)
         self._initial_export = dict(
             psi_real=psi_r,
@@ -1161,6 +1261,35 @@ class TDGLSolver:
                     f"The checkpoint is already at t = {time_val:.6g} >="
                     f" solve_time = {self.options.solve_time}: raise"
                     " solve_time to continue the run."
+                )
+        if (getattr(self.cfg, "factor_link_phases", False)
+                and self._full_A_grid is not None):
+            # The factored-link path extracts its row/col phase factors
+            # in-program from state.A_applied, which must be the SMOOTH
+            # full-grid fill — a checkpoint written by a solver that
+            # stored the masked (edge-scattered) grid would silently
+            # yield wrong link phases. Repair checkpoints that match at
+            # the real edges (same physics, masked fill) in place; reject
+            # anything else.
+            smooth = self._full_A_grid
+            tol = dict(rtol=1e-5,
+                       atol=1e-6 * max(float(np.abs(smooth).max()), 1e-30))
+            ck = np.asarray(fields["A_applied"], np.float64)
+            if not np.allclose(ck, smooth, **tol):
+                at_edges = ck.reshape(3 * ck.shape[1] * ck.shape[2], 2)[
+                    self.maps.edge_flat
+                ]
+                if not np.allclose(
+                        at_edges, self.current_A_applied.astype(np.float64),
+                        **tol):
+                    raise ValueError(
+                        "Checkpoint A_applied does not match this solver's"
+                        " applied potential; resume with the same"
+                        " applied_vector_potential, or set"
+                        " factor_link_phases=False."
+                    )
+                fields["A_applied"] = smooth.astype(
+                    np.asarray(fields["A_applied"]).dtype
                 )
         state = self._put(template._replace(
             **{k: jnp.asarray(v) for k, v in fields.items()},

@@ -194,6 +194,12 @@ class StepConfig:
     # products — exact) — plane reads ARE the cost (HBM-bound). Same math
     # up to f32 rounding order.
     fold_link_weights: bool = False
+    # Stencil backend, static separable-A fast path: reconstruct the link
+    # planes in-kernel from factored row/col trig vectors
+    # (models.gtdgl_stencil.FactoredLinkPhases) — no link-plane HBM reads
+    # at all. Enabled by the solver only after a float64 separability
+    # check of the applied potential; supersedes fold_link_weights.
+    factor_link_phases: bool = False
     # Store the folded link tables in bfloat16 (halves their read
     # bandwidth; ~4e-3 relative perturbation of the link phases — f32
     # accumulation via mixed-precision promotion). Physics-gated.

@@ -31,7 +31,10 @@ try:
     from jax._src import xla_bridge as _xb
 
     for _plat in list(_xb._backend_factories):
-        if _plat not in ("cpu",):
+        # Keep jax's own built-in platforms ("tpu" must stay registered:
+        # pallas registers MLIR lowering rules against it at import time);
+        # drop only externally-registered tunnel plugins.
+        if _plat not in ("cpu", "tpu", "gpu", "cuda", "rocm"):
             _xb._backend_factories.pop(_plat, None)
 except Exception:  # pragma: no cover — private API may move across jax
     pass

@@ -517,9 +517,87 @@ def test_folded_link_weights_trajectory_parity():
             state, _, _ = solver.chunk_fn(state)
         return to_numpy(state.psi_r)
 
-    base = run(fold_link_weights=False)
-    folded = run()  # auto: folded on at f32
-    bf16 = run(link_phase_bf16=True)
+    base = run(fold_link_weights=False, factor_link_phases=False)
+    folded = run(factor_link_phases=False)  # auto: folded on at f32
+    bf16 = run(link_phase_bf16=True, factor_link_phases=False)
     scale = np.abs(base).max()
     assert np.abs(folded - base).max() / scale < 1e-3
     assert np.abs(bf16 - base).max() / scale < 3e-2
+
+
+def test_factored_link_phases():
+    """The rank-structured link-phase path (auto default for f32 static
+    uniform fields): (a) the reconstructed link planes match the direct
+    cos/sin evaluation at every real edge, (b) a chunked trajectory tracks
+    the plane-based formulation to f32 rounding, and (c) non-separable
+    potentials fall back (auto) or raise (explicit)."""
+    import jax
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+    from tdgl_tpu.models import gtdgl_stencil as gs
+    from tdgl_tpu.solver.solver import TDGLSolver
+    from tdgl_tpu.solver.options import SolverOptionsError
+    from tdgl_tpu.utils.jaxio import to_numpy
+
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1)
+    film = tdgl.Polygon("film", points=box(10)).resample(100)
+    device = tdgl.Device("fact", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=2000, structured=True)
+
+    def make(**kw):
+        options = tdgl.SolverOptions(
+            solve_time=1e9, dt_init=1e-3, adaptive=False,
+            save_every=100, steps_per_chunk=100, dtype="float32",
+            field_units="mT", current_units="uA", **kw)
+        return TDGLSolver(device, options, applied_vector_potential=0.5)
+
+    # (a) plane-level parity at real edges.
+    solver = make()
+    assert solver.cfg.factor_link_phases  # auto-on for uniform fields
+    state = solver._initial_state()
+    fact = gs.factor_link_phases(solver.sten, state.A_applied)
+    direct = gs.edge_link_phases(solver.sten, state.A_applied)
+    ev = np.asarray(solver.host_sten.edge_valid) > 0
+    for k in range(3):
+        ur, ui = gs._factored_u_k(fact, k, jnp.float32)
+        assert np.abs(
+            np.asarray(ur) - np.asarray(direct.ur[k])
+        )[ev[k]].max() < 5e-6
+        assert np.abs(
+            np.asarray(ui) - np.asarray(direct.ui[k])
+        )[ev[k]].max() < 5e-6
+
+    # (b) trajectory parity vs the folded-plane formulation.
+    def run(solver):
+        state = solver._initial_state()
+        for _ in range(2):
+            state, _, _ = solver.chunk_fn(state)
+        return to_numpy(state.psi_r)
+
+    base = run(make(factor_link_phases=False))
+    fac = run(make())
+    scale = np.abs(base).max()
+    assert np.abs(fac - base).max() / scale < 1e-3
+
+    # (c) non-separable potential: auto falls back, explicit True raises.
+    def radial_A(x, y, z):
+        r2 = x**2 + y**2
+        return np.stack([-y * r2, x * r2, np.zeros_like(x)], axis=-1)
+
+    options = tdgl.SolverOptions(
+        solve_time=1e9, dt_init=1e-3, adaptive=False, save_every=100,
+        steps_per_chunk=100, dtype="float32", field_units="mT",
+        current_units="uA")
+    s_auto = TDGLSolver(device, options, applied_vector_potential=radial_A)
+    assert not s_auto.cfg.factor_link_phases
+    with pytest.raises(SolverOptionsError, match="separable"):
+        TDGLSolver(
+            device,
+            tdgl.SolverOptions(
+                solve_time=1e9, dt_init=1e-3, adaptive=False,
+                save_every=100, steps_per_chunk=100, dtype="float32",
+                field_units="mT", current_units="uA",
+                factor_link_phases=True),
+            applied_vector_potential=radial_A,
+        )
