@@ -23,8 +23,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = ("stencil", "vcycle", "cg2", "cg3", "mgr2", "mgr3",
-            "fft_screen", "psi_update", "psi_pallas", "rhs_xla",
-            "rhs_pallas")
+            "fft_screen", "psi_update", "psi_folded", "psi_factored",
+            "psi_pallas", "rhs_xla", "rhs_factored", "rhs_pallas")
 
 
 def main():
@@ -139,6 +139,35 @@ def main():
             return (res.psi_r, res.psi_i)
         timed("psi_update", psi_fn, (state.psi_r, state.psi_i), args.iters)
 
+    if "psi_folded" in chosen or "psi_factored" in chosen:
+        def make_psi_fn(U):
+            def fn(carry):
+                pr, pi = carry
+                res = gs.implicit_euler_psi(
+                    sten, U, pr, pi, pr * pr + pi * pi, r0, state.epsilon,
+                    solver.cfg.gamma, solver.cfg.u, jnp.asarray(1e-4, rd))
+                return (res.psi_r, res.psi_i)
+            return fn
+
+        if "psi_folded" in chosen:
+            Uf = gs.fold_link_phases(sten, U0)
+            timed("psi_folded", make_psi_fn(Uf),
+                  (state.psi_r, state.psi_i), args.iters)
+        if "psi_factored" in chosen:
+            # state.A_applied carries the smooth full-grid fill (the
+            # solver auto-enables the factored path on this workload).
+            Ux = gs.factor_link_phases(sten, state.A_applied)
+            timed("psi_factored", make_psi_fn(Ux),
+                  (state.psi_r, state.psi_i), args.iters)
+    if "rhs_factored" in chosen:
+        Ux2 = gs.factor_link_phases(sten, state.A_applied)
+
+        def rhs_factored_fn(x):
+            J_s = gs.supercurrent_on_edges(sten, Ux2, x, state.psi_i)
+            rhs = gs.poisson_rhs(sten, J_s, state.dA_dt,
+                                 state.neumann_term)
+            return x + eps * rhs
+        timed("rhs_factored", rhs_factored_fn, state.psi_r, args.iters)
     if "psi_pallas" in chosen:
         from tdgl_tpu.ops.pallas_step import fused_psi_update
 
