@@ -236,3 +236,55 @@ def test_resume_screened_and_traced_A(tmp_path):
         full.tdgl_data.induced_vector_potential,
     )
     assert resumed.tdgl_data.state["time"] == full.tdgl_data.state["time"]
+
+
+def test_resume_factored_repairs_masked_A(tmp_path):
+    """The factored-link-phase path needs the SMOOTH full-grid A fill in
+    state.A_applied. Resuming a checkpoint whose fill is the masked
+    (edge-scattered) grid — same physics at real edges — must repair it
+    in place; a checkpoint from a genuinely different applied potential
+    must be rejected."""
+    device = _device(structured=True)
+
+    def options(solve_time, path):
+        return tdgl.SolverOptions(
+            solve_time=solve_time, dt_init=1e-4, dt_max=1e-2,
+            save_every=100, field_units="mT", current_units="uA",
+            output_file=path, dtype="float32",
+        )
+
+    sol = tdgl.solve(device, options(2.0, str(tmp_path / "f.h5")),
+                     applied_vector_potential=0.3)
+
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    probe = TDGLSolver(device, options(4.0, str(tmp_path / "p.h5")),
+                       applied_vector_potential=0.3)
+    assert probe.cfg.factor_link_phases  # uniform field, f32 structured
+    maps = probe.maps
+
+    # Overwrite the checkpoint's A_applied with the masked fill an older
+    # writer would have produced (smooth values at real edges only).
+    with h5py.File(sol.path, "r+") as f:
+        A = np.asarray(f["checkpoint"]["A_applied"])
+        flat = np.zeros((3 * A.shape[1] * A.shape[2], 2), A.dtype)
+        flat[maps.edge_flat] = A.reshape(-1, 2)[maps.edge_flat]
+        del f["checkpoint"]["A_applied"]
+        f["checkpoint"]["A_applied"] = flat.reshape(A.shape)
+
+    resumed = tdgl.solve(
+        device, options(3.0, str(tmp_path / "r.h5")),
+        applied_vector_potential=0.3, resume_from=sol.path,
+    )
+    assert resumed.tdgl_data is not None  # repaired and ran
+
+    # A genuinely different field in the checkpoint is rejected.
+    with h5py.File(sol.path, "r+") as f:
+        A = np.asarray(f["checkpoint"]["A_applied"])
+        del f["checkpoint"]["A_applied"]
+        f["checkpoint"]["A_applied"] = 2.0 * A
+    with pytest.raises(ValueError, match="A_applied"):
+        tdgl.solve(
+            device, options(3.0, str(tmp_path / "r2.h5")),
+            applied_vector_potential=0.3, resume_from=sol.path,
+        )
