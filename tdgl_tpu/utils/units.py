@@ -288,6 +288,12 @@ class Quantity:
         return Quantity(self._mag ** exp, self._scale ** exp, dims, units)
 
     def _add_sub(self, other, sign):
+        # pint compatibility: adding/subtracting a bare scalar zero is
+        # dimensionally neutral, so ``sum(fluxoid)`` works (the reference's
+        # own idiom, ``tdgl/test/test_solve.py:180``; ``sum`` starts at 0).
+        if isinstance(other, Number) and other == 0:
+            return Quantity(self._mag + 0.0, self._scale, self._dims,
+                            self._units)
         o = self._coerce(other)
         if o._dims != self._dims:
             raise DimensionalityError(
