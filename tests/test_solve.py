@@ -206,6 +206,62 @@ def test_traced_terminal_currents(transport_device):
     assert np.allclose(measured, expected, rtol=0.1)
 
 
+@pytest.mark.parametrize("dtype", ["float64", "float32"])
+def test_screening_fluxoid_quantization_fast(dtype):
+    """FAST screened fluxoid-quantization gate (~20 s per dtype): the
+    physics invariant of the reference's screening test
+    (``/root/reference/tdgl/test/test_solve.py:152-197``) on a small bar at
+    the validated mesh density (0.35 xi, docs/validation.md), so a
+    quantization regression is caught by every suite run — not only by the
+    multi-hour @slow gates.
+
+    Without screening the fluxoid around closed curves in the
+    vortex-free film is far from quantized (error > 1); with
+    self-consistent screening it quantizes (total fluxoid ~ 0) to the
+    REFERENCE's own 5e-2 tolerance. Measured errors at this density:
+    0.025 / 0.000 / 0.034 (both dtypes)."""
+    xi = 0.1
+    layer = tdgl.Layer(
+        coherence_length=xi, london_lambda=0.075, thickness=0.05
+    )
+    film = tdgl.Polygon("film", points=box(1, 0.5, points=151))
+    device = tdgl.Device("bar_fast", layer=layer, film=film,
+                         length_units="um")
+    device.make_mesh(max_edge_length=0.35 * xi, smooth=100)
+    curves = [
+        circle(0.15, center=(0, 0)),
+        box(0.25, center=(-0.2, 0)),
+        circle(0.12, center=(0.2, 0.1)),
+    ]
+
+    def fluxoid_errors(include_screening):
+        options = tdgl.SolverOptions(
+            solve_time=1,
+            dt_max=1e-3,
+            field_units="mT",
+            current_units="uA",
+            include_screening=include_screening,
+            screening_tolerance=1e-6,
+            dtype=dtype,
+        )
+        sol = tdgl.solve(device, options, applied_vector_potential=0.1)
+        errors = []
+        for curve in curves:
+            fluxoid = sol.polygon_fluxoid(curve)
+            total = (fluxoid.flux_part.magnitude
+                     + fluxoid.supercurrent_part.magnitude)
+            errors.append(abs(total / fluxoid.flux_part.magnitude))
+        return errors
+
+    # The unscreened contrast leg only needs one dtype (it asserts a
+    # gross qualitative property).
+    if dtype == "float64":
+        for err in fluxoid_errors(False):
+            assert err > 1
+    for err in fluxoid_errors(True):
+        assert err < 5e-2
+
+
 def test_screening_float32_converges():
     """Screening at dtype=float32 with tolerance 1e-6 converges (and matches
     the float64 per-edge-criterion run). The per-edge error ratio of the
