@@ -148,22 +148,46 @@ def measure(target_sites: int, attempts: int):
         # diagnostics — the fetch transitively forces every queued chunk.
         # The cumulative in-program step counter then proves every timed
         # step actually executed (dispatches cannot silently no-op).
+        #
+        # Variance control (round 5): the timed window is pinned in STEPS
+        # (32k warmup from the 2 warmup chunks above at default CHUNK, then
+        # exactly ~32k timed steps), and the measurement repeats 3x FROM THE
+        # SAME post-warmup device state — JAX arrays are immutable, so
+        # rebinding replays the identical trajectory — reporting the median.
+        # Run-to-run scatter within a binary is therefore pure host/tunnel
+        # timing noise (measured ~0.5%); across binaries, trajectories (and
+        # the timed window's vortex-lattice hardness) may still differ — an
+        # A/B below ~2% needs the per-component microbenchmarks
+        # (tools/grid_microbench.py) to be meaningful.
+        state_w = state
         steps_before = int(tree_to_numpy(exported_dev)["diagnostics"][3])
-        n_chunks = max(2, 16000 // chunk)
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            state, outputs, exported_dev = chunk_fn(state)
-        try:
-            exported = tree_to_numpy(exported_dev)
-        except Exception as exc:
+        n_chunks = max(2, 32000 // chunk) if chunk < 32000 else 1
+        steps = n_chunks * chunk
+        reps = []
+        rep_fail = None
+        for _rep in range(3):
+            state = state_w
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                state, outputs, exported_dev = chunk_fn(state)
+            try:
+                exported = tree_to_numpy(exported_dev)
+            except Exception as exc:
+                rep_fail = str(exc)[:60]
+                break
+            reps.append(time.perf_counter() - t0)
+            executed = int(exported["diagnostics"][3]) - steps_before
+            assert executed == steps, \
+                f"only {executed}/{steps} timed steps executed on device"
+        if rep_fail is not None:
             notes.append(f"attempt {attempt}: post-run transfer failed"
-                         f" ({str(exc)[:60]})")
-            print(f"# post-run transfer failed ({str(exc)[:60]});"
+                         f" ({rep_fail})")
+            print(f"# post-run transfer failed ({rep_fail});"
                   " timing untrusted, retrying", file=sys.stderr)
             time.sleep(45 * (attempt + 1))
             continue
-        elapsed = time.perf_counter() - t0
-        steps = n_chunks * chunk
+        elapsed = sorted(reps)[len(reps) // 2]
+        notes.append("median of " + "/".join(f"{r:.2f}s" for r in reps))
 
         # Sanity: the run must be live (not failed/done/frozen). All host
         # reads come from the chunk program's own exported outputs.
@@ -178,9 +202,10 @@ def measure(target_sites: int, attempts: int):
         psi_abs = np.sqrt(exported["psi_real"]**2 + exported["psi_imag"]**2)
         if solver.structured:
             psi_abs = solver.maps.grid_to_site(psi_abs)
+        cg_mean = float(np.mean(to_numpy(outputs.cg_iterations)))
+        notes.append(f"mean cg iters {cg_mean:.2f}")
         print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
-              f" time={diag[0]:.2f}, mean cg iters="
-              f"{np.mean(to_numpy(outputs.cg_iterations)):.1f}",
+              f" time={diag[0]:.2f}, mean cg iters={cg_mean:.1f}",
               file=sys.stderr)
         assert psi_abs.min() < 0.9, \
             "no vortices: benchmark not exercising dynamics"
@@ -249,20 +274,32 @@ def measure_screened(target_sites: int, attempts: int):
                          f" unhealthy ({str(exc)[:60]})")
             time.sleep(45 * (attempt + 1))
             continue
+        # Median-of-3 timed reps from the same post-warmup state (see the
+        # unscreened measure(): identical trajectory per rep, so the median
+        # controls host/tunnel timing noise only).
+        state_w = state
         steps_before = int(tree_to_numpy(exported_dev)["diagnostics"][3])
         n_chunks = max(2, 4000 // chunk)
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            state, outputs, exported_dev = chunk_fn(state)
-        try:
-            exported = tree_to_numpy(exported_dev)
-        except Exception as exc:
-            notes.append(f"screened post-run transfer failed"
-                         f" ({str(exc)[:60]})")
+        steps = n_chunks * chunk
+        reps = []
+        rep_fail = None
+        for _rep in range(3):
+            state = state_w
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                state, outputs, exported_dev = chunk_fn(state)
+            try:
+                exported = tree_to_numpy(exported_dev)
+            except Exception as exc:
+                rep_fail = str(exc)[:60]
+                break
+            reps.append(time.perf_counter() - t0)
+        if rep_fail is not None:
+            notes.append(f"screened post-run transfer failed ({rep_fail})")
             time.sleep(45 * (attempt + 1))
             continue
-        elapsed = time.perf_counter() - t0
-        steps = n_chunks * chunk
+        elapsed = sorted(reps)[len(reps) // 2]
+        notes.append("median of " + "/".join(f"{r:.2f}s" for r in reps))
         diag = exported["diagnostics"]
         assert not bool(diag[5]), "screened solver failed during bench"
         executed = int(diag[3]) - steps_before

@@ -32,13 +32,28 @@ class _FrameCounter:
         )
 
 
+# Frame jumps: reference parity (``tdgl/visualization/interactive.py:51-78``)
+# — arrows step +-1/+-10 (shift), up/down +-100, shift+up/down +-1000,
+# home/end jump to the first/last frame.
 _KEY_JUMPS = {
     "right": 1, "left": -1,
-    "up": 10, "down": -10,
     "shift+right": 10, "shift+left": -10,
-    "shift+up": 100, "shift+down": -100,
-    "ctrl+right": 100, "ctrl+left": -100,
-    "ctrl+up": 1000, "ctrl+down": -1000,
+    "up": 100, "down": -100,
+    "shift+up": 1000, "shift+down": -1000,
+}
+
+# Number keys select the quantity: reference parity
+# (``tdgl/visualization/interactive.py:80-106``).
+_KEY_QUANTITIES = {
+    "1": Quantity.ORDER_PARAMETER,
+    "2": Quantity.PHASE,
+    "3": Quantity.SUPERCURRENT,
+    "4": Quantity.NORMAL_CURRENT,
+    "5": Quantity.SCALAR_POTENTIAL,
+    "6": Quantity.APPLIED_VECTOR_POTENTIAL,
+    "7": Quantity.INDUCED_VECTOR_POTENTIAL,
+    "8": Quantity.EPSILON,
+    "9": Quantity.VORTICITY,
 }
 
 
@@ -53,60 +68,80 @@ class InteractivePlot:
         self.figure_kwargs = figure_kwargs or {}
         self.quantity = Quantity.ORDER_PARAMETER
 
-    def show(self):
+    def _build(self, f):
+        """Build the figure and wire the key handler against the open file.
+
+        Split from :meth:`show` so tests can drive the handler with
+        synthetic ``KeyEvent``s while the file is still open. Exposes
+        ``self._frames`` (the frame counter), ``self._fig``, and
+        ``self._on_key`` for that purpose.
+        """
         import matplotlib.pyplot as plt
 
         from ..device.device import Device
         from ..fv.mesh import Mesh
 
-        with h5py.File(self.input_file, "r") as f:
-            if "mesh" in f:
-                mesh = Mesh.from_hdf5(f["mesh"])
-            else:
-                mesh = Device.from_hdf5(f["solution/device"]).mesh
-            min_frame, max_frame = get_data_range(f)
-            frames = _FrameCounter(min_frame, max_frame)
-            fig, ax = plt.subplots(**self.figure_kwargs)
-            x, y = mesh.sites.T
-            if not self.dimensionless and "solution/device" in f:
-                xi = f["solution/device/layer"].attrs["coherence_length"]
-                x, y = x * xi, y * xi
+        if "mesh" in f:
+            mesh = Mesh.from_hdf5(f["mesh"])
+        else:
+            mesh = Device.from_hdf5(f["solution/device"]).mesh
+        min_frame, max_frame = get_data_range(f)
+        frames = _FrameCounter(min_frame, max_frame)
+        fig, ax = plt.subplots(**self.figure_kwargs)
+        x, y = mesh.sites.T
+        if not self.dimensionless and "solution/device" in f:
+            xi = f["solution/device/layer"].attrs["coherence_length"]
+            x, y = x * xi, y * xi
+        value, _, limits = get_plot_data(f, mesh, self.quantity,
+                                         frames.current)
+        defaults = PLOT_DEFAULTS[self.quantity]
+        pc = ax.tripcolor(x, y, value, triangles=mesh.elements,
+                          shading=self.shading, cmap=defaults.cmap)
+        pc.set_clim(*limits)
+        cbar = fig.colorbar(pc, ax=ax)
+        cbar.set_label(defaults.clabel)
+        ax.set_aspect("equal")
+        title = ax.set_title(
+            get_state_string(f, frames.current, max_frame)
+        )
+
+        def redraw():
             value, _, limits = get_plot_data(f, mesh, self.quantity,
                                              frames.current)
             defaults = PLOT_DEFAULTS[self.quantity]
-            pc = ax.tripcolor(x, y, value, triangles=mesh.elements,
-                              shading=self.shading, cmap=defaults.cmap)
+            pc.set_array(value)
+            pc.set_cmap(defaults.cmap)
             pc.set_clim(*limits)
-            cbar = fig.colorbar(pc, ax=ax)
             cbar.set_label(defaults.clabel)
-            ax.set_aspect("equal")
-            title = ax.set_title(
-                get_state_string(f, frames.current, max_frame)
-            )
+            title.set_text(get_state_string(f, frames.current, max_frame))
+            fig.canvas.draw_idle()
 
-            def redraw():
-                value, _, limits = get_plot_data(f, mesh, self.quantity,
-                                                 frames.current)
-                defaults = PLOT_DEFAULTS[self.quantity]
-                pc.set_array(value)
-                pc.set_cmap(defaults.cmap)
-                pc.set_clim(*limits)
-                cbar.set_label(defaults.clabel)
-                title.set_text(get_state_string(f, frames.current, max_frame))
-                fig.canvas.draw_idle()
+        def on_key(event):
+            if event.key in _KEY_JUMPS:
+                frames.jump(_KEY_JUMPS[event.key])
+                redraw()
+            elif event.key == "home":
+                frames.jump(frames.min_frame - frames.current)
+                redraw()
+            elif event.key == "end":
+                frames.jump(frames.max_frame - frames.current)
+                redraw()
+            elif event.key in _KEY_QUANTITIES:
+                self.quantity = _KEY_QUANTITIES[event.key]
+                redraw()
 
-            def on_key(event):
-                if event.key in _KEY_JUMPS:
-                    frames.jump(_KEY_JUMPS[event.key])
-                    redraw()
-                elif event.key and event.key.isdigit():
-                    keys = Quantity.get_keys()
-                    index = int(event.key)
-                    if index < len(keys):
-                        self.quantity = Quantity.from_key(keys[index])
-                        redraw()
+        fig.canvas.mpl_connect("key_press_event", on_key)
+        self._frames = frames
+        self._fig = fig
+        self._pc = pc
+        self._on_key = on_key
+        return fig
 
-            fig.canvas.mpl_connect("key_press_event", on_key)
+    def show(self):
+        import matplotlib.pyplot as plt
+
+        with h5py.File(self.input_file, "r") as f:
+            self._build(f)
             plt.show()
 
 
@@ -126,55 +161,70 @@ class MultiInteractivePlot:
         self.max_cols = max_cols
         self.figure_kwargs = figure_kwargs or {}
 
-    def show(self):
-        import matplotlib.pyplot as plt
-
+    def _build(self, f):
+        """See :meth:`InteractivePlot._build` — test-drivable setup."""
         from ..device.device import Device
         from ..fv.mesh import Mesh
 
-        with h5py.File(self.input_file, "r") as f:
-            if "mesh" in f:
-                mesh = Mesh.from_hdf5(f["mesh"])
-            else:
-                mesh = Device.from_hdf5(f["solution/device"]).mesh
-            min_frame, max_frame = get_data_range(f)
-            frames = _FrameCounter(min_frame, max_frame)
-            x, y = mesh.sites.T
-            fig, axes = auto_grid(len(self.quantities),
-                                  max_cols=self.max_cols,
-                                  **self.figure_kwargs)
-            collections = []
-            for quantity, ax in zip(self.quantities, axes.flat):
+        if "mesh" in f:
+            mesh = Mesh.from_hdf5(f["mesh"])
+        else:
+            mesh = Device.from_hdf5(f["solution/device"]).mesh
+        min_frame, max_frame = get_data_range(f)
+        frames = _FrameCounter(min_frame, max_frame)
+        x, y = mesh.sites.T
+        fig, axes = auto_grid(len(self.quantities),
+                              max_cols=self.max_cols,
+                              **self.figure_kwargs)
+        collections = []
+        for quantity, ax in zip(self.quantities, axes.flat):
+            value, _, limits = get_plot_data(f, mesh, quantity,
+                                             frames.current)
+            defaults = PLOT_DEFAULTS[quantity]
+            pc = ax.tripcolor(x, y, value, triangles=mesh.elements,
+                              shading=self.shading, cmap=defaults.cmap)
+            pc.set_clim(*limits)
+            cbar = fig.colorbar(pc, ax=ax)
+            cbar.set_label(defaults.clabel)
+            ax.set_aspect("equal")
+            ax.set_title(quantity.value)
+            collections.append(pc)
+        suptitle = fig.suptitle(
+            get_state_string(f, frames.current, max_frame)
+        )
+
+        def redraw():
+            for quantity, pc in zip(self.quantities, collections):
                 value, _, limits = get_plot_data(f, mesh, quantity,
                                                  frames.current)
-                defaults = PLOT_DEFAULTS[quantity]
-                pc = ax.tripcolor(x, y, value, triangles=mesh.elements,
-                                  shading=self.shading, cmap=defaults.cmap)
+                pc.set_array(value)
                 pc.set_clim(*limits)
-                cbar = fig.colorbar(pc, ax=ax)
-                cbar.set_label(defaults.clabel)
-                ax.set_aspect("equal")
-                ax.set_title(quantity.value)
-                collections.append(pc)
-            suptitle = fig.suptitle(
+            suptitle.set_text(
                 get_state_string(f, frames.current, max_frame)
             )
+            fig.canvas.draw_idle()
 
-            def redraw():
-                for quantity, pc in zip(self.quantities, collections):
-                    value, _, limits = get_plot_data(f, mesh, quantity,
-                                                     frames.current)
-                    pc.set_array(value)
-                    pc.set_clim(*limits)
-                suptitle.set_text(
-                    get_state_string(f, frames.current, max_frame)
-                )
-                fig.canvas.draw_idle()
+        def on_key(event):
+            if event.key in _KEY_JUMPS:
+                frames.jump(_KEY_JUMPS[event.key])
+                redraw()
+            elif event.key == "home":
+                frames.jump(frames.min_frame - frames.current)
+                redraw()
+            elif event.key == "end":
+                frames.jump(frames.max_frame - frames.current)
+                redraw()
 
-            def on_key(event):
-                if event.key in _KEY_JUMPS:
-                    frames.jump(_KEY_JUMPS[event.key])
-                    redraw()
+        fig.canvas.mpl_connect("key_press_event", on_key)
+        self._frames = frames
+        self._fig = fig
+        self._collections = collections
+        self._on_key = on_key
+        return fig
 
-            fig.canvas.mpl_connect("key_press_event", on_key)
+    def show(self):
+        import matplotlib.pyplot as plt
+
+        with h5py.File(self.input_file, "r") as f:
+            self._build(f)
             plt.show()

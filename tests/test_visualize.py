@@ -117,3 +117,86 @@ def test_create_animation_api(solution_file):
     assert os.path.exists(out)
     os.remove(out)
     plt.close("all")
+
+
+def test_interactive_plot_key_events(solution_file):
+    """Drive InteractivePlot with synthetic KeyEvents: frame jumps of
+    +-1/10/100/1000 + home/end and number-key quantity selection, matching
+    the reference's handler (``tdgl/visualization/interactive.py:51-109``)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.backend_bases import KeyEvent
+
+    from tdgl_tpu.visualization.interactive import InteractivePlot
+
+    with non_gui_backend():
+        plot = InteractivePlot(solution_file)
+        with h5py.File(solution_file, "r") as f:
+            fig = plot._build(f)
+            frames = plot._frames
+
+            def press(key):
+                plot._on_key(KeyEvent("key_press_event", fig.canvas, key))
+
+            assert frames.current == frames.min_frame
+            press("right")
+            assert frames.current == frames.min_frame + 1
+            press("left")
+            assert frames.current == frames.min_frame
+            press("left")  # clipped at min_frame
+            assert frames.current == frames.min_frame
+            press("end")
+            assert frames.current == frames.max_frame
+            press("up")  # clipped at max_frame
+            assert frames.current == frames.max_frame
+            press("home")
+            assert frames.current == frames.min_frame
+            # +-10/100/1000 all clip on this small file but must not move
+            # in the wrong direction.
+            for key, delta in (("shift+right", 10), ("up", 100),
+                               ("shift+up", 1000)):
+                press(key)
+                expect = min(frames.min_frame + delta, frames.max_frame)
+                assert frames.current == expect
+                press({"shift+right": "shift+left", "up": "down",
+                       "shift+up": "shift+down"}[key])
+                assert frames.current == frames.min_frame
+            # Number keys: the reference's 1..9 quantity map.
+            before = np.array(plot._pc.get_array())
+            press("3")
+            assert plot.quantity is Quantity.SUPERCURRENT
+            after = np.array(plot._pc.get_array())
+            assert not np.array_equal(before, after)
+            press("9")
+            assert plot.quantity is Quantity.VORTICITY
+            press("1")
+            assert plot.quantity is Quantity.ORDER_PARAMETER
+        plt.close(fig)
+
+
+def test_multi_interactive_plot_key_events(solution_file):
+    import matplotlib.pyplot as plt
+    from matplotlib.backend_bases import KeyEvent
+
+    from tdgl_tpu.visualization.interactive import MultiInteractivePlot
+
+    with non_gui_backend():
+        plot = MultiInteractivePlot(solution_file)
+        with h5py.File(solution_file, "r") as f:
+            fig = plot._build(f)
+            frames = plot._frames
+
+            def press(key):
+                plot._on_key(KeyEvent("key_press_event", fig.canvas, key))
+
+            before = [np.array(pc.get_array()) for pc in plot._collections]
+            press("right")
+            assert frames.current == frames.min_frame + 1
+            after = [np.array(pc.get_array()) for pc in plot._collections]
+            assert any(
+                not np.array_equal(b, a) for b, a in zip(before, after)
+            )
+            press("end")
+            assert frames.current == frames.max_frame
+            press("home")
+            assert frames.current == frames.min_frame
+        plt.close(fig)

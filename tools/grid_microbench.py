@@ -22,9 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("stencil", "vcycle", "cg2", "cg3", "mgr2", "mgr3",
-            "fft_screen", "psi_update", "psi_folded", "psi_factored",
-            "psi_pallas", "rhs_xla", "rhs_factored", "rhs_pallas")
+VARIANTS = ("noop", "reduce", "stencil", "vcycle", "cg2", "cg3", "mgr2",
+            "mgr3", "sstep2", "fft_screen", "psi_update", "psi_folded",
+            "psi_factored", "psi_pallas", "rhs_xla", "rhs_factored",
+            "rhs_pallas")
 
 
 def main():
@@ -125,6 +126,14 @@ def main():
     chosen = args.variants.split(",")
     eps = jnp.asarray(1e-9, rd)
 
+    if "noop" in chosen:
+        # Scan-iteration floor: one elementwise op per iteration.
+        timed("noop", lambda x: x + eps, r0, args.iters)
+    if "reduce" in chosen:
+        # One full-plane reduction consumed by a broadcast back into the
+        # carry — the sync-point pattern of CG dots / loop conditions.
+        timed("reduce", lambda x: x + eps * jnp.max(jnp.abs(x)), r0,
+              args.iters)
     if "stencil" in chosen:
         timed("stencil", lambda x: x + eps * apply_A(x), r0, args.iters)
     if "vcycle" in chosen:
@@ -214,6 +223,16 @@ def main():
                 return out.x
         return fn
 
+    if "sstep2" in chosen:
+        from tdgl_tpu.ops.cg import cg_solve_2step_topup
+
+        def sstep_fn(m):
+            out = cg_solve_2step_topup(
+                apply_A, project(-(sten.area.astype(rd) * rhs0))
+                + eps * m[:1, :1], m, tol=1e-4,
+                precond=lambda r: apply_mg(amg, r), project_fn=project)
+            return out.x
+        timed("sstep2", sstep_fn, state.mu, args.iters)
     if "cg2" in chosen:
         timed("cg2", solve_variant("cg", 2), state.mu, args.iters)
     if "cg3" in chosen:
