@@ -237,8 +237,10 @@ def measure_screened(target_sites: int, attempts: int):
     n_sites = len(device.mesh.sites)
     inner = os.environ.get("TDGL_BENCH_SCREEN_INNER")
     skernel = os.environ.get("TDGL_BENCH_SCREEN_KERNEL", "auto")
+    sdft = os.environ.get("TDGL_BENCH_SCREEN_DFT", "high")
     options = tdgl.SolverOptions(
         screening_kernel=skernel,
+        screening_dft_precision=sdft,
         solve_time=1e9,
         dt_init=1e-4,
         dt_max=1e-2,
@@ -256,7 +258,8 @@ def measure_screened(target_sites: int, attempts: int):
     chunk_fn = solver.chunk_fn
     chunk = solver.chunk_size
     notes.append(f"screened chunk={chunk} kernel={solver._screening_kernel}"
-                 f" inner_iters={solver.cfg.screening_cg_iters}")
+                 f" inner_iters={solver.cfg.screening_cg_iters}"
+                 f" dft={sdft}")
 
     import jax
 

@@ -151,7 +151,8 @@ def build_fft_screening(sten, maps, grid, dtype=np.float32,
 
 
 def induced_vector_potential_mxu(
-    fft_data: FFTScreeningData, sten, J_weighted: jax.Array
+    fft_data: FFTScreeningData, sten, J_weighted: jax.Array,
+    bf16: bool = False,
 ) -> jax.Array:
     """The SAME convolution as :func:`induced_vector_potential_fft`, with
     every transform expressed as a dense DFT **matmul** on the MXU.
@@ -165,6 +166,14 @@ def induced_vector_potential_mxu(
     rounding is ~sqrt(N) eps ~ 3e-6 relative — far below the screening
     fixed point's 3e-4 float32 floor. Exact-arithmetic-identical to the
     FFT path (parity-tested).
+
+    ``bf16=True`` runs the matmuls at single-pass bf16 operand precision
+    (``Precision.DEFAULT`` on TPU): 3x less MXU work for a ~1e-3 relative
+    perturbation of the convolution kernel. The perturbed operator is
+    deterministic, so the screening fixed point converges cleanly to the
+    solution of the perturbed equation — an error of the same order as the
+    float32 screening precision floor (``docs/perf_notes.md``). Opt-in via
+    ``SolverOptions(screening_dft_precision="bf16")``.
     """
     rdtype = J_weighted.dtype
     Rp, Cp = J_weighted.shape[:2]
@@ -173,7 +182,8 @@ def induced_vector_potential_mxu(
     # accumulation: operand rounding ~5e-7 relative — equivalent to f32
     # for these DFT sums (parity-tested at 1e-5) at half the pass count
     # of HIGHEST.
-    prec = jax.lax.Precision.HIGH
+    prec = (jax.lax.Precision.DEFAULT if bf16
+            else jax.lax.Precision.HIGH)
 
     def mm(a, b):
         return jnp.matmul(a, b, precision=prec)

@@ -298,7 +298,8 @@ def make_grid_step_fn(cfg: StepConfig):
                         )
 
                         A_new = induced_vector_potential_mxu(
-                            fft_data, sten, Jw
+                            fft_data, sten, Jw,
+                            bf16=cfg.screening_dft_bf16,
                         )
                     else:
                         from ..ops.fft_screening import (

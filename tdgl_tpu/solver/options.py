@@ -138,6 +138,12 @@ class SolverOptions:
     # "xla", and "fft" superseded both on structured meshes. Measured 45
     # vs 22 ms; see docs/perf_notes.md.)
     screening_kernel: str = "auto"
+    # Operand precision of the MXU DFT screening matmuls: "high" (bf16x3,
+    # ~5e-7 kernel parity — exact for f32 purposes) or "bf16" (single-pass
+    # bf16, 3x less MXU work, a deterministic ~1e-3 relative kernel
+    # perturbation — the same order as the f32 screening precision floor).
+    # Only meaningful with screening_kernel "mxu"/"auto" on TPU.
+    screening_dft_precision: str = "high"
     # CG iterations per mu solve inside the screening fixed point. A fixed
     # count (rather than tolerance-stopped CG) makes each solve a smooth map,
     # which the fixed-point iteration needs to converge below the CG
@@ -340,6 +346,11 @@ class SolverOptions:
             raise SolverOptionsError(
                 "screening_error_norm must be 'auto', 'per_edge', or"
                 f" 'global' (got {self.screening_error_norm})."
+            )
+        if self.screening_dft_precision not in ("high", "bf16"):
+            raise SolverOptionsError(
+                "screening_dft_precision must be 'high' or 'bf16'"
+                f" (got {self.screening_dft_precision})."
             )
         if self.screening_kernel not in ("auto", "fft", "xla", "mxu"):
             raise SolverOptionsError(

@@ -630,6 +630,7 @@ class TDGLSolver:
             screening_global_error_norm=screening_global_norm,
             screening_use_fft=(self._screening_kernel in ("fft", "mxu")),
             screening_fft_mxu=(self._screening_kernel == "mxu"),
+            screening_dft_bf16=(options.screening_dft_precision == "bf16"),
             screening_anderson=(options.screening_solver == "anderson"),
             screening_cg_iters=(
                 int(options.screening_cg_iterations)

@@ -160,6 +160,11 @@ class StepConfig:
     # _mxu — same math, parity-tested; XLA's TPU FFT lowering is
     # lane-shuffle-bound).
     screening_fft_mxu: bool = False
+    # Run the MXU DFT matmuls at bf16x1 operand precision (~1e-3 relative
+    # kernel perturbation — a deterministic operator within the f32
+    # screening envelope) instead of bf16x3. Opt-in speed/precision trade;
+    # see SolverOptions.screening_dft_precision.
+    screening_dft_bf16: bool = False
     # CG iterations per mu solve inside the screening fixed point (fixed
     # count -> smooth map; see ``observables``).
     screening_cg_iters: int = 32

@@ -489,6 +489,12 @@ def test_mxu_dft_screening_parity():
     A_mxu = induced_vector_potential_mxu(fftd, solver.sten, Jw)
     scale = float(jnp.abs(A_fft).max())
     assert float(jnp.abs(A_mxu - A_fft).max()) / scale < 1e-5
+    # The bf16 fast path (screening_dft_precision="bf16") is the same
+    # program at lower matmul operand precision: a deterministic kernel
+    # perturbation bounded by ~1e-3 relative on TPU and exact on CPU
+    # (Precision flags only affect TPU matmuls).
+    A_bf16 = induced_vector_potential_mxu(fftd, solver.sten, Jw, bf16=True)
+    assert float(jnp.abs(A_bf16 - A_fft).max()) / scale < 2e-3
 
 
 def test_folded_link_weights_trajectory_parity():

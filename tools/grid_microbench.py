@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--variants", type=str, default=",".join(VARIANTS))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the timed loop "
+                         "(amortizes the per-scan-iteration runtime floor)")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +105,8 @@ def main():
 
         @jax.jit
         def run(carry):
-            return jax.lax.scan(body, carry, xs=None, length=iters)[0]
+            return jax.lax.scan(body, carry, xs=None, length=iters,
+                                unroll=args.unroll)[0]
 
         t0 = time.perf_counter()
         carry = run((init, jnp.int32(0)))
