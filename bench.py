@@ -90,6 +90,13 @@ def measure(target_sites: int, attempts: int):
     sstep = os.environ.get("TDGL_BENCH_SSTEP")
     if sstep:
         solver_kwargs.update(poisson_sstep=bool(int(sstep)))
+    failover = os.environ.get("TDGL_BENCH_FAILOVER")
+    if failover:  # "0" disables the fast-chunk/failover program
+        solver_kwargs.update(
+            chunk_failover=("auto" if int(failover) else "off"))
+    unroll = os.environ.get("TDGL_BENCH_UNROLL")
+    if unroll:  # scan unroll factor (None = auto)
+        solver_kwargs.update(scan_unroll=int(unroll))
     poisson = os.environ.get("TDGL_BENCH_POISSON", "")
     if poisson == "cg_tol":
         solver_kwargs.update(poisson_fixed_iterations=0)
@@ -204,6 +211,10 @@ def measure(target_sites: int, attempts: int):
             psi_abs = solver.maps.grid_to_site(psi_abs)
         cg_mean = float(np.mean(to_numpy(outputs.cg_iterations)))
         notes.append(f"mean cg iters {cg_mean:.2f}")
+        notes.append(
+            f"unroll={solver.cfg.scan_unroll}"
+            f" fast_chunk={hasattr(solver, '_fast_chunk_fn')}"
+            f" failovers={getattr(solver, '_failover_count', 0)}")
         print(f"# |psi| in [{psi_abs.min():.3f}, {psi_abs.max():.3f}],"
               f" time={diag[0]:.2f}, mean cg iters={cg_mean:.1f}",
               file=sys.stderr)

@@ -258,6 +258,34 @@ class SolverOptions:
     # Reconstruction agrees with direct cos/sin to ~1 ulp; float64 keeps
     # the reference rounding order for the oracle parity pins.
     factor_link_phases: Optional[bool] = None
+    # lax.scan unroll factor for the compiled chunk loop. None = auto:
+    # 2 on the structured unscreened chunk (+12% measured on the 50k TPU
+    # benchmark — XLA overlaps one step's serial reductions with the
+    # neighbor step's elementwise work), 1 elsewhere. Pure scheduling:
+    # the per-step math is unchanged. Higher values raise compile time
+    # and measured net negative at 4 (docs/perf_notes.md).
+    scan_unroll: Optional[int] = None
+    # "Steady fast chunk" with chunk-level failover (stencil backend,
+    # unscreened): compile the chunk WITHOUT the per-step dt-retry and
+    # mu-top-up while_loops — a single psi attempt and a fixed-count mu
+    # solve per step — and gate each step's health instead (psi solve
+    # accepted; mu residual <= 10x poisson_tolerance, a band measured to
+    # have no observable physics effect, docs/validation.md). When any
+    # step in a chunk trips a gate, the solver transparently rewinds to
+    # the chunk-start state and re-runs that chunk with the robust
+    # while_loop program (compiled lazily on first use), so anomalous
+    # steps are still repaired exactly as without this option — the fast
+    # program only ever commits chunks whose every step passed. Rationale:
+    # the two loop barriers cost ~7% of step time even on benchmark
+    # windows where they NEVER fire (docs/perf_notes.md "structural
+    # overhead"); steady-state TDGL evolution essentially never retries.
+    # Cold starts DO retry (the dt ramp overshoots within the first
+    # chunk), so a from-scratch solve typically fails over exactly once
+    # on its first chunk and runs fast thereafter; warm starts
+    # (seed_solution / resume_from) run fast from chunk one.
+    # "auto" (default) = on for structured unscreened solves; "on"
+    # forces it (error on unsupported modes); "off" disables.
+    chunk_failover: str = "auto"
     # Compute the mu solve's fixed 2-iteration phase as one blocked 2D
     # Krylov (s-step) minimization: mathematically identical to 2 PCG
     # iterations, but the five Gram scalars form ONE independent
@@ -346,6 +374,15 @@ class SolverOptions:
             raise SolverOptionsError(
                 "screening_error_norm must be 'auto', 'per_edge', or"
                 f" 'global' (got {self.screening_error_norm})."
+            )
+        if self.scan_unroll is not None and int(self.scan_unroll) < 1:
+            raise SolverOptionsError(
+                f"scan_unroll must be >= 1 (got {self.scan_unroll})."
+            )
+        if self.chunk_failover not in ("auto", "on", "off"):
+            raise SolverOptionsError(
+                "chunk_failover must be 'auto', 'on', or 'off'"
+                f" (got {self.chunk_failover})."
             )
         if self.screening_dft_precision not in ("high", "bf16"):
             raise SolverOptionsError(

@@ -678,6 +678,19 @@ class TDGLSolver:
             mu_boundary_fn=mu_boundary_fn,
             use_amg=self._use_amg,
             use_pallas_step=self._resolve_pallas_step(options),
+            # None = auto: 2 on the structured unscreened chunk — measured
+            # +12% end-to-end on the 50k TPU benchmark (the unrolled pair
+            # lets XLA overlap one step's serial CG reductions with the
+            # neighbor step's elementwise planes); 4 is net negative
+            # (docs/perf_notes.md). Pure scheduling, math unchanged.
+            # Screened/unstructured chunks keep 1 (unmeasured benefit,
+            # higher compile cost).
+            scan_unroll=(
+                int(options.scan_unroll)
+                if options.scan_unroll is not None
+                else (2 if self.structured
+                      and not options.include_screening else 1)
+            ),
         )
         fold = options.fold_link_weights
         if fold is None:
@@ -724,9 +737,46 @@ class TDGLSolver:
 
             self._raw_chunk_fn = make_grid_chunk_fn(self.cfg,
                                                     self.chunk_size)
-            self.chunk_fn = lambda state: self._raw_chunk_fn(
-                self.sten, self._screening_weights, self.amg, state
-            )
+            if self._resolve_chunk_failover(options):
+                import dataclasses
+
+                # The fast program: no retry/top-up while_loops, health
+                # gates instead (StepConfig.fast_chunk). The robust
+                # program (self._raw_chunk_fn) stays uncompiled until a
+                # chunk actually trips a gate.
+                self._fast_cfg = dataclasses.replace(
+                    self.cfg, fast_chunk=True,
+                    poisson_fail_gate=10.0 * float(
+                        self.cfg.poisson_tolerance),
+                )
+                self._fast_chunk_fn = make_grid_chunk_fn(self._fast_cfg,
+                                                         self.chunk_size)
+                self._failover_count = 0
+
+                def chunk_fn(state):
+                    out = self._fast_chunk_fn(
+                        self.sten, self._screening_weights, self.amg, state
+                    )
+                    # diagnostics[5] is the chunk's sticky failed flag.
+                    if not bool(to_numpy(out[2]["diagnostics"])[5]):
+                        return out
+                    self._failover_count += 1
+                    logger.info(
+                        "fast chunk flagged an anomalous step; rewinding"
+                        " and re-running the chunk with the robust"
+                        " (retry/top-up) program"
+                        + (" [compiling it first]"
+                           if self._failover_count == 1 else "")
+                    )
+                    return self._raw_chunk_fn(
+                        self.sten, self._screening_weights, self.amg, state
+                    )
+
+                self.chunk_fn = chunk_fn
+            else:
+                self.chunk_fn = lambda state: self._raw_chunk_fn(
+                    self.sten, self._screening_weights, self.amg, state
+                )
         else:
             self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
             # The operator tables, screening weights, and AMG hierarchy are
@@ -735,6 +785,28 @@ class TDGLSolver:
             self.chunk_fn = lambda state: self._raw_chunk_fn(
                 self.op, self._screening_weights, self.amg, state
             )
+
+    def _resolve_chunk_failover(self, options: SolverOptions) -> bool:
+        """Resolve ``SolverOptions.chunk_failover`` (see options.py).
+
+        Auto = on for structured unscreened solves: there the per-step
+        retry/top-up while_loops are pure insurance that measurably taxes
+        every step (docs/perf_notes.md), and chunk-level rewind provides
+        the same repair semantics. Screened solves keep the in-program
+        loops (the screening fixed point is itself a while_loop, and its
+        inner solves already run fixed counts).
+        """
+        mode = options.chunk_failover
+        if mode == "off":
+            return False
+        supported = self.structured and not options.include_screening
+        if mode == "on" and not supported:
+            raise SolverOptionsError(
+                "chunk_failover='on' requires the structured (stencil)"
+                " backend with screening off; use 'auto' to enable it"
+                " opportunistically."
+            )
+        return supported
 
     def _resolve_pallas_step(self, options: SolverOptions) -> bool:
         """Resolve ``SolverOptions.pallas_step`` (None = auto).

@@ -209,6 +209,32 @@ class StepConfig:
     # bandwidth; ~4e-3 relative perturbation of the link phases — f32
     # accumulation via mixed-precision promotion). Physics-gated.
     link_bf16: bool = False
+    # lax.scan unroll factor for the chunk loop. >1 lets XLA interleave
+    # independent work of adjacent steps (the step's serial reductions
+    # overlap the next step's elementwise planes) at higher compile cost.
+    # Pure scheduling — the per-step math is unchanged. Measured on the
+    # 50k TPU benchmark: unroll 2 +12% end-to-end, unroll 4 net negative
+    # (docs/perf_notes.md).
+    scan_unroll: int = 1
+    # Stencil backend "steady fast chunk": strip the per-step retry and
+    # top-up while_loops from the compiled chunk entirely (single psi
+    # attempt, fixed-count mu solve) and FLAG any step whose psi solve
+    # rejects or whose mu residual exceeds ``poisson_fail_gate`` instead
+    # of repairing it in-program. The solver pairs this program with
+    # chunk-level failover: on a flag, the host rewinds to the chunk-start
+    # state (chunk inputs are not donated) and re-runs the chunk with the
+    # robust while_loop program, so the accepted trajectory never contains
+    # a flagged step. Measured motivation: the two loop barriers cost
+    # ~7% of step time at the 50k benchmark even on windows where they
+    # never fire (docs/perf_notes.md "structural overhead").
+    fast_chunk: bool = False
+    # Residual gate for fast-chunk steps (same norm as poisson_tolerance).
+    # Steps landing in (poisson_tolerance, poisson_fail_gate] are accepted
+    # without top-up — the band sits inside the physics-validated
+    # mu-tolerance envelope (docs/validation.md measured no observable
+    # drift up to 1e-3) — anything above triggers chunk failover. 0.0
+    # means "use the robust gate" (only meaningful with fast_chunk).
+    poisson_fail_gate: float = 0.0
     # Stencil backend: fused single-pass Pallas kernels for the psi update
     # and the Poisson RHS (ops.pallas_step) instead of the roll-chain XLA
     # formulation. Each input plane is read from HBM exactly once; physics

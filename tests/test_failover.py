@@ -1,0 +1,119 @@
+"""Steady-fast-chunk / chunk-level-failover semantics (SolverOptions.
+chunk_failover) and the scan_unroll knob.
+
+The fast program strips the per-step retry/top-up while_loops and flags
+anomalies instead; the solver rewinds flagged chunks and re-runs them with
+the robust program. Reference behavior being preserved: the retry loop of
+``/root/reference/tdgl/solver/solver.py:441-487`` (a flagged psi step is
+repaired by the robust rerun, never committed).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import tdgl_tpu as tdgl
+from tdgl_tpu.geometry import box
+from tdgl_tpu.utils.jaxio import to_numpy
+
+
+def _device(size=8, edge=0.25):
+    layer = tdgl.Layer(coherence_length=0.5, london_lambda=2,
+                       thickness=0.05, conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(size)).resample(200)
+    device = tdgl.Device("fo", layer=layer, film=film)
+    device.make_mesh(structured=True, max_edge_length=edge)
+    return device
+
+
+def _solve(dtype, failover, **kw):
+    options = tdgl.SolverOptions(
+        solve_time=3, dt_init=1e-5, save_every=100, output_file=None,
+        dtype=dtype, chunk_failover=failover, **kw,
+    )
+    solver = tdgl.TDGLSolver(_device(), options,
+                             applied_vector_potential=0.4)
+    solution = solver.solve()
+    return solver, solution
+
+
+def test_failover_f64_bitwise_vs_robust():
+    """At f64 the mu solve is tolerance-stopped in both programs and any
+    retry-worthy chunk fails over to the robust program, so the committed
+    trajectory is IDENTICAL to chunk_failover='off'."""
+    s_fast, sol_fast = _solve("float64", "auto")
+    s_rob, sol_rob = _solve("float64", "off")
+    assert hasattr(s_fast, "_fast_chunk_fn")
+    assert not hasattr(s_rob, "_fast_chunk_fn")
+    a, b = sol_fast.tdgl_data, sol_rob.tdgl_data
+    assert np.array_equal(np.asarray(a.psi), np.asarray(b.psi))
+    assert np.array_equal(np.asarray(a.mu), np.asarray(b.mu))
+
+
+def test_failover_f32_cold_start_fires_then_fast():
+    """The cold-start chunk trips a gate (dt ramp retries / cold mu) and
+    fails over; the steady chunks run fast. Physics stays inside the
+    validated mu-tolerance band vs the robust program."""
+    s_fast, sol_fast = _solve("float32", "auto")
+    s_rob, sol_rob = _solve("float32", "off")
+    # The cold-start chunk fails over; the steady chunks (the run is many
+    # chunks long) must not.
+    assert 1 <= s_fast._failover_count <= 3
+    a = np.abs(np.asarray(sol_fast.tdgl_data.psi))
+    b = np.abs(np.asarray(sol_rob.tdgl_data.psi))
+    assert float(np.max(np.abs(a - b))) < 1e-3
+
+
+def test_fast_chunk_accepts_only_gated_steps():
+    """Directly run the fast program on a steady state: accepted chunks
+    report no failure and execute every step."""
+    s, _ = _solve("float32", "auto")
+    import jax.numpy as jnp
+
+    # Reach a steady state by advancing a few chunks through the
+    # failover wrapper, then drive the fast program directly.
+    state = s._initial_state()._replace(
+        end_time=jnp.asarray(1e9, s.rdtype))
+    for _ in range(3):
+        state, _, _ = s.chunk_fn(state)
+    out_state, outputs, exported = s._fast_chunk_fn(
+        s.sten, s._screening_weights, s.amg, state)
+    diag = to_numpy(exported["diagnostics"])
+    assert not bool(diag[5])
+    assert int(np.sum(to_numpy(outputs.valid))) == s.chunk_size
+
+
+def test_failover_on_requires_supported_mode():
+    device = _device()
+    options = tdgl.SolverOptions(
+        solve_time=1, output_file=None, chunk_failover="on",
+        include_screening=True,
+    )
+    with pytest.raises(Exception, match="chunk_failover"):
+        tdgl.TDGLSolver(device, options, applied_vector_potential=0.4)
+
+
+def test_failover_option_validation():
+    with pytest.raises(Exception, match="chunk_failover"):
+        tdgl.SolverOptions(solve_time=1, chunk_failover="maybe").validate()
+    with pytest.raises(Exception, match="scan_unroll"):
+        tdgl.SolverOptions(solve_time=1, scan_unroll=0).validate()
+
+
+def test_scan_unroll_trajectory_invariant():
+    """scan_unroll is pure scheduling: the committed trajectory is
+    identical (CPU: bitwise) across unroll factors."""
+    _, sol1 = _solve("float32", "off", scan_unroll=1)
+    _, sol2 = _solve("float32", "off", scan_unroll=2)
+    assert np.array_equal(np.asarray(sol1.tdgl_data.psi),
+                          np.asarray(sol2.tdgl_data.psi))
+    assert np.array_equal(np.asarray(sol1.tdgl_data.mu),
+                          np.asarray(sol2.tdgl_data.mu))
+
+
+def test_fast_cfg_gate_value():
+    s, _ = _solve("float32", "auto")
+    assert s._fast_cfg.fast_chunk
+    assert s._fast_cfg.poisson_fail_gate == pytest.approx(
+        10.0 * s.cfg.poisson_tolerance)
