@@ -249,9 +249,18 @@ def measure_screened(target_sites: int, attempts: int):
     inner = os.environ.get("TDGL_BENCH_SCREEN_INNER")
     skernel = os.environ.get("TDGL_BENCH_SCREEN_KERNEL", "auto")
     sdft = os.environ.get("TDGL_BENCH_SCREEN_DFT", "high")
+    screen_kwargs = {}
+    failover = os.environ.get("TDGL_BENCH_FAILOVER")
+    if failover:  # "0" disables the fast-chunk/failover program
+        screen_kwargs.update(
+            chunk_failover=("auto" if int(failover) else "off"))
+    unroll = os.environ.get("TDGL_BENCH_UNROLL")
+    if unroll:
+        screen_kwargs.update(scan_unroll=int(unroll))
     options = tdgl.SolverOptions(
         screening_kernel=skernel,
         screening_dft_precision=sdft,
+        **screen_kwargs,
         solve_time=1e9,
         dt_init=1e-4,
         dt_max=1e-2,
@@ -321,6 +330,10 @@ def measure_screened(target_sites: int, attempts: int):
             f"only {executed}/{steps} screened steps executed"
         mean_iters = float(np.mean(to_numpy(outputs.screening_iterations)))
         notes.append(f"mean screening iters {mean_iters:.2f}")
+        notes.append(
+            f"unroll={solver.cfg.scan_unroll}"
+            f" fast_chunk={hasattr(solver, '_fast_chunk_fn')}"
+            f" failovers={getattr(solver, '_failover_count', 0)}")
         print(f"# screened: {executed} steps in {elapsed:.2f}s"
               f" ({steps / elapsed:.0f}/s, {mean_iters:.2f} iters/step)",
               file=sys.stderr)

@@ -393,9 +393,19 @@ def make_grid_step_fn(cfg: StepConfig):
                 old_sq, state.mu, zeros_e, zeros_e, np.bool_(False),
                 np.int32(0), big,
             )
-            (s, err, dt_used, A_induced, _vel, _xp, pr_n, pi_n, sq_n, mu_n,
-             J_s, J_n, fail, cg_iters, cg_res) = jax.lax.while_loop(
-                s_cond, s_body, init)
+            if cfg.fast_chunk:
+                # Steady fast chunk: the Anderson fixed point converges in
+                # exactly 1 iteration/step in steady state (measured mean
+                # 1.00 at the 50k benchmark), so run ONE inline screening
+                # update — no while_loop, no second convolution — and let
+                # the error gate below trip chunk failover to the robust
+                # program when a step genuinely needs more iterations.
+                (s, err, dt_used, A_induced, _vel, _xp, pr_n, pi_n, sq_n,
+                 mu_n, J_s, J_n, fail, cg_iters, cg_res) = s_body(init)
+            else:
+                (s, err, dt_used, A_induced, _vel, _xp, pr_n, pi_n, sq_n,
+                 mu_n, J_s, J_n, fail, cg_iters,
+                 cg_res) = jax.lax.while_loop(s_cond, s_body, init)
             fail = jnp.logical_or(fail, err >= cfg.screening_tolerance)
             # 2x the CG precision floor: the gate flags gross failure,
             # not precision-edge flutter (tolerance-stopped CG itself clamps

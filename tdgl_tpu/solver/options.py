@@ -265,11 +265,14 @@ class SolverOptions:
     # the per-step math is unchanged. Higher values raise compile time
     # and measured net negative at 4 (docs/perf_notes.md).
     scan_unroll: Optional[int] = None
-    # "Steady fast chunk" with chunk-level failover (stencil backend,
-    # unscreened): compile the chunk WITHOUT the per-step dt-retry and
-    # mu-top-up while_loops — a single psi attempt and a fixed-count mu
-    # solve per step — and gate each step's health instead (psi solve
-    # accepted; mu residual <= 10x poisson_tolerance, a band measured to
+    # "Steady fast chunk" with chunk-level failover (stencil backend):
+    # compile the chunk WITHOUT the per-step dt-retry and mu-top-up
+    # while_loops — a single psi attempt and a fixed-count mu solve per
+    # step; with screening, additionally ONE inline screening iteration
+    # instead of the fixed-point while_loop (steady-state measured mean
+    # is exactly 1.00 iterations/step) — and gate each step's health
+    # instead (psi solve accepted; screening error within tolerance; mu
+    # residual <= 10x poisson_tolerance, a band measured to
     # have no observable physics effect, docs/validation.md). When any
     # step in a chunk trips a gate, the solver transparently rewinds to
     # the chunk-start state and re-runs that chunk with the robust

@@ -778,6 +778,9 @@ class TDGLSolver:
                     self.sten, self._screening_weights, self.amg, state
                 )
         else:
+            # Validates the mode (chunk_failover='on' raises here — the
+            # fast-chunk program exists only on the stencil backend).
+            self._resolve_chunk_failover(options)
             self._raw_chunk_fn = make_chunk_fn(self.cfg, self.chunk_size)
             # The operator tables, screening weights, and AMG hierarchy are
             # traced arguments of the compiled chunk (not baked-in
@@ -789,22 +792,22 @@ class TDGLSolver:
     def _resolve_chunk_failover(self, options: SolverOptions) -> bool:
         """Resolve ``SolverOptions.chunk_failover`` (see options.py).
 
-        Auto = on for structured unscreened solves: there the per-step
-        retry/top-up while_loops are pure insurance that measurably taxes
-        every step (docs/perf_notes.md), and chunk-level rewind provides
-        the same repair semantics. Screened solves keep the in-program
-        loops (the screening fixed point is itself a while_loop, and its
-        inner solves already run fixed counts).
+        Auto = on for structured solves: the per-step retry/top-up
+        while_loops are pure insurance that measurably taxes every step
+        (docs/perf_notes.md), and chunk-level rewind provides the same
+        repair semantics. With screening, the fast program additionally
+        runs the Anderson fixed point as ONE inline iteration (measured
+        steady-state mean: exactly 1.00 iterations/step) gated on the
+        screening tolerance — a step needing more iterations fails over.
         """
         mode = options.chunk_failover
         if mode == "off":
             return False
-        supported = self.structured and not options.include_screening
+        supported = self.structured
         if mode == "on" and not supported:
             raise SolverOptionsError(
                 "chunk_failover='on' requires the structured (stencil)"
-                " backend with screening off; use 'auto' to enable it"
-                " opportunistically."
+                " backend; use 'auto' to enable it opportunistically."
             )
         return supported
 

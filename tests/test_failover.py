@@ -84,11 +84,32 @@ def test_fast_chunk_accepts_only_gated_steps():
     assert int(np.sum(to_numpy(outputs.valid))) == s.chunk_size
 
 
+def test_failover_screened_bitwise_vs_robust():
+    """With screening, the fast program runs ONE inline fixed-point
+    iteration (bitwise-identical to the while_loop executing once) and
+    fails over whenever a step needs more — so the committed screened
+    trajectory is IDENTICAL to chunk_failover='off'."""
+    kw = dict(include_screening=True, screening_tolerance=1e-2)
+    s_fast, sol_fast = _solve("float32", "auto", **kw)
+    s_rob, sol_rob = _solve("float32", "off", **kw)
+    assert hasattr(s_fast, "_fast_chunk_fn")
+    assert s_fast.cfg.include_screening
+    a, b = sol_fast.tdgl_data, sol_rob.tdgl_data
+    assert np.array_equal(np.asarray(a.psi), np.asarray(b.psi))
+    assert np.array_equal(np.asarray(a.mu), np.asarray(b.mu))
+    assert np.array_equal(np.asarray(a.induced_vector_potential),
+                          np.asarray(b.induced_vector_potential))
+
+
 def test_failover_on_requires_supported_mode():
-    device = _device()
+    # The fast-chunk program exists only on the structured backend.
+    layer = tdgl.Layer(coherence_length=0.5, london_lambda=2,
+                       thickness=0.05, conductivity=10.0)
+    film = tdgl.Polygon("film", points=box(6)).resample(100)
+    device = tdgl.Device("un", layer=layer, film=film)
+    device.make_mesh(min_points=400)
     options = tdgl.SolverOptions(
         solve_time=1, output_file=None, chunk_failover="on",
-        include_screening=True,
     )
     with pytest.raises(Exception, match="chunk_failover"):
         tdgl.TDGLSolver(device, options, applied_vector_potential=0.4)
