@@ -107,10 +107,15 @@ def _public_members(mod):
 
 
 def _signature(obj) -> str:
+    import re
+
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # Object-default reprs carry memory addresses; scrub them so the
+    # output stays deterministic across runs.
+    return re.sub(r" at 0x[0-9a-f]+", "", sig)
 
 
 def _doc(obj) -> str:
