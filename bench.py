@@ -248,7 +248,7 @@ def measure_screened(target_sites: int, attempts: int):
     n_sites = len(device.mesh.sites)
     inner = os.environ.get("TDGL_BENCH_SCREEN_INNER")
     skernel = os.environ.get("TDGL_BENCH_SCREEN_KERNEL", "auto")
-    sdft = os.environ.get("TDGL_BENCH_SCREEN_DFT", "high")
+    sdft = os.environ.get("TDGL_BENCH_SCREEN_DFT", "auto")
     screen_kwargs = {}
     failover = os.environ.get("TDGL_BENCH_FAILOVER")
     if failover:  # "0" disables the fast-chunk/failover program
@@ -280,6 +280,12 @@ def measure_screened(target_sites: int, attempts: int):
     notes.append(f"screened chunk={chunk} kernel={solver._screening_kernel}"
                  f" inner_iters={solver.cfg.screening_cg_iters}"
                  f" dft={sdft}")
+    fast_cfg = getattr(solver, "_fast_cfg", None)
+    if fast_cfg is not None:
+        notes.append(
+            f"fast: unroll={fast_cfg.scan_unroll}"
+            f" inner_iters={fast_cfg.screening_cg_iters}"
+            f" dft_bf16={fast_cfg.screening_dft_bf16}")
 
     import jax
 

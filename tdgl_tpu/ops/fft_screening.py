@@ -50,6 +50,13 @@ class FFTScreeningData(NamedTuple):
     Ghat_re: jax.Array
     Ghat_im: jax.Array
     dft: Optional["DFTMatrices"] = None
+    # Site-evaluation kernel (``1/dist`` between lattice points, with the
+    # self term moment-matched against the edge-class kernels — see
+    # build_fft_screening): ``(2*Rp, Cp + 1)`` spectra for the cheaper
+    # evaluate-at-sites-then-interpolate screening path
+    # (:func:`induced_vector_potential_mxu_site`). ``None`` when not built.
+    G0hat_re: Optional[jax.Array] = None
+    G0hat_im: Optional[jax.Array] = None
 
 
 class DFTMatrices(NamedTuple):

@@ -142,8 +142,16 @@ class SolverOptions:
     # ~5e-7 kernel parity — exact for f32 purposes) or "bf16" (single-pass
     # bf16, 3x less MXU work, a deterministic ~1e-3 relative kernel
     # perturbation — the same order as the f32 screening precision floor).
-    # Only meaningful with screening_kernel "mxu"/"auto" on TPU.
-    screening_dft_precision: str = "high"
+    # "auto" (default): the robust chunk program uses "high"; the gated
+    # FAST chunk program (chunk_failover) uses "bf16" on float32 — the
+    # per-step health gates (screening error within tolerance, mu
+    # residual) catch any step where the cheap operands cannot converge
+    # and rewind it to the robust/high program, so the approximation is
+    # self-policing. Measured at the 50k benchmark (within-process A/B,
+    # docs/perf_notes.md): +5.4% alone, +26% combined with the fast
+    # inner-iteration count and scan unroll 2. Only meaningful with
+    # screening_kernel "mxu"/"auto" on TPU.
+    screening_dft_precision: str = "auto"
     # CG iterations per mu solve inside the screening fixed point. A fixed
     # count (rather than tolerance-stopped CG) makes each solve a smooth map,
     # which the fixed-point iteration needs to converge below the CG
@@ -157,6 +165,18 @@ class SolverOptions:
     # and need the deeper count; 32 on the ELL backend (weaker
     # preconditioner).
     screening_cg_iterations: Optional[int] = None
+    # Inner fixed-iteration count for the FAST chunk program only
+    # (chunk_failover; the robust rewind program always uses
+    # screening_cg_iterations). None = auto: 3 on the float32 structured
+    # fast path — the warm start carries convergence across steps in
+    # steady state, and the fast program's residual/tolerance gates
+    # rewind any step the shallower solve cannot hold (cold starts DO
+    # trip it; the first chunks re-run robust while the transient
+    # decays). Measured at the 50k benchmark (within-process A/B):
+    # +12% alone over the 5-iteration fast program. Same as
+    # screening_cg_iterations at float64 (parity runs keep the deep
+    # count).
+    screening_fast_iterations: Optional[int] = None
     # Fixed-point accelerator for the screening iteration: "anderson"
     # (depth-1 Anderson/secant acceleration — converges in ~10-15 iterations
     # where the reference's fixed-coefficient Polyak scheme crawls at
@@ -261,9 +281,11 @@ class SolverOptions:
     # lax.scan unroll factor for the compiled chunk loop. None = auto:
     # 2 on the structured unscreened chunk (+12% measured on the 50k TPU
     # benchmark — XLA overlaps one step's serial reductions with the
-    # neighbor step's elementwise work), 1 elsewhere. Pure scheduling:
-    # the per-step math is unchanged. Higher values raise compile time
-    # and measured net negative at 4 (docs/perf_notes.md).
+    # neighbor step's elementwise work) and on the structured screened
+    # FAST program (+10% within-process A/B; the robust screened program
+    # keeps 1 — its fixed-point while_loop body does not unroll). Pure
+    # scheduling: the per-step math is unchanged. Higher values raise
+    # compile time and measured net negative at 4 (docs/perf_notes.md).
     scan_unroll: Optional[int] = None
     # "Steady fast chunk" with chunk-level failover (stencil backend):
     # compile the chunk WITHOUT the per-step dt-retry and mu-top-up
@@ -286,7 +308,7 @@ class SolverOptions:
     # chunk), so a from-scratch solve typically fails over exactly once
     # on its first chunk and runs fast thereafter; warm starts
     # (seed_solution / resume_from) run fast from chunk one.
-    # "auto" (default) = on for structured unscreened solves; "on"
+    # "auto" (default) = on for structured solves (screened too); "on"
     # forces it (error on unsupported modes); "off" disables.
     chunk_failover: str = "auto"
     # Compute the mu solve's fixed 2-iteration phase as one blocked 2D
@@ -378,6 +400,12 @@ class SolverOptions:
                 "screening_error_norm must be 'auto', 'per_edge', or"
                 f" 'global' (got {self.screening_error_norm})."
             )
+        if (self.screening_fast_iterations is not None
+                and int(self.screening_fast_iterations) < 1):
+            raise SolverOptionsError(
+                "screening_fast_iterations must be >= 1"
+                f" (got {self.screening_fast_iterations})."
+            )
         if self.scan_unroll is not None and int(self.scan_unroll) < 1:
             raise SolverOptionsError(
                 f"scan_unroll must be >= 1 (got {self.scan_unroll})."
@@ -387,9 +415,9 @@ class SolverOptions:
                 "chunk_failover must be 'auto', 'on', or 'off'"
                 f" (got {self.chunk_failover})."
             )
-        if self.screening_dft_precision not in ("high", "bf16"):
+        if self.screening_dft_precision not in ("auto", "high", "bf16"):
             raise SolverOptionsError(
-                "screening_dft_precision must be 'high' or 'bf16'"
+                "screening_dft_precision must be 'auto', 'high', or 'bf16'"
                 f" (got {self.screening_dft_precision})."
             )
         if self.screening_kernel not in ("auto", "fft", "xla", "mxu"):

@@ -630,6 +630,8 @@ class TDGLSolver:
             screening_global_error_norm=screening_global_norm,
             screening_use_fft=(self._screening_kernel in ("fft", "mxu")),
             screening_fft_mxu=(self._screening_kernel == "mxu"),
+            # "auto" resolves to "high" here (the robust program); the
+            # fast chunk program flips to single-pass bf16 below.
             screening_dft_bf16=(options.screening_dft_precision == "bf16"),
             screening_anderson=(options.screening_solver == "anderson"),
             screening_cg_iters=(
@@ -743,11 +745,33 @@ class TDGLSolver:
                 # The fast program: no retry/top-up while_loops, health
                 # gates instead (StepConfig.fast_chunk). The robust
                 # program (self._raw_chunk_fn) stays uncompiled until a
-                # chunk actually trips a gate.
+                # chunk actually trips a gate. With screening, the fast
+                # program additionally runs the measured-best screened
+                # configuration (within-process A/B at the 50k benchmark,
+                # docs/perf_notes.md): scan unroll 2, a shallower inner
+                # fixed-iteration count, and single-pass bf16 DFT
+                # operands — each individually gated: a step the cheap
+                # program cannot hold within the screening tolerance and
+                # mu-residual gates rewinds to the robust program
+                # (screening_cg_iterations deep, "high" DFT operands).
+                fast_over = {}
+                if self.cfg.include_screening:
+                    if options.scan_unroll is None:
+                        fast_over["scan_unroll"] = 2
+                    sfi = options.screening_fast_iterations
+                    if sfi is None and options.dtype == "float32":
+                        sfi = min(3, self.cfg.screening_cg_iters)
+                    if sfi is not None:
+                        fast_over["screening_cg_iters"] = int(sfi)
+                    if (options.screening_dft_precision == "auto"
+                            and self.cfg.screening_fft_mxu
+                            and options.dtype == "float32"):
+                        fast_over["screening_dft_bf16"] = True
                 self._fast_cfg = dataclasses.replace(
                     self.cfg, fast_chunk=True,
                     poisson_fail_gate=10.0 * float(
                         self.cfg.poisson_tolerance),
+                    **fast_over,
                 )
                 self._fast_chunk_fn = make_grid_chunk_fn(self._fast_cfg,
                                                          self.chunk_size)

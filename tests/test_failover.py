@@ -87,9 +87,12 @@ def test_fast_chunk_accepts_only_gated_steps():
 def test_failover_screened_bitwise_vs_robust():
     """With screening, the fast program runs ONE inline fixed-point
     iteration (bitwise-identical to the while_loop executing once) and
-    fails over whenever a step needs more — so the committed screened
-    trajectory is IDENTICAL to chunk_failover='off'."""
-    kw = dict(include_screening=True, screening_tolerance=1e-2)
+    fails over whenever a step needs more — so with the fast program's
+    cheap-approximation knobs pinned to the robust values, the committed
+    screened trajectory is IDENTICAL to chunk_failover='off'."""
+    kw = dict(include_screening=True, screening_tolerance=1e-2,
+              screening_fast_iterations=5, scan_unroll=1,
+              screening_dft_precision="high")
     s_fast, sol_fast = _solve("float32", "auto", **kw)
     s_rob, sol_rob = _solve("float32", "off", **kw)
     assert hasattr(s_fast, "_fast_chunk_fn")
@@ -99,6 +102,27 @@ def test_failover_screened_bitwise_vs_robust():
     assert np.array_equal(np.asarray(a.mu), np.asarray(b.mu))
     assert np.array_equal(np.asarray(a.induced_vector_potential),
                           np.asarray(b.induced_vector_potential))
+
+
+def test_failover_screened_auto_fast_config():
+    """The auto fast screened program runs the measured-best cheap
+    configuration (scan unroll 2, 3 inner fixed iterations; single-pass
+    bf16 DFT operands only on the MXU kernel) while the robust rewind
+    program keeps the deep/exact settings — and its committed physics
+    stays within the gate tolerances of the robust trajectory."""
+    kw = dict(include_screening=True, screening_tolerance=1e-2)
+    s_fast, sol_fast = _solve("float32", "auto", **kw)
+    s_rob, sol_rob = _solve("float32", "off", **kw)
+    fast_cfg = s_fast._fast_cfg
+    assert fast_cfg.scan_unroll == 2
+    assert fast_cfg.screening_cg_iters == 3
+    assert fast_cfg.screening_dft_bf16 == bool(fast_cfg.screening_fft_mxu)
+    # Robust program untouched: deep inner count, exact operands.
+    assert s_fast.cfg.screening_cg_iters == 5
+    assert not s_fast.cfg.screening_dft_bf16
+    a = np.abs(np.asarray(sol_fast.tdgl_data.psi))
+    b = np.abs(np.asarray(sol_rob.tdgl_data.psi))
+    assert float(np.max(np.abs(a - b))) < 1e-2
 
 
 def test_failover_on_requires_supported_mode():
