@@ -294,22 +294,31 @@ def make_grid_step_fn(cfg: StepConfig):
                     if cfg.screening_eval_fn is not None:
                         A_new = cfg.screening_eval_fn(fft_data, sten, Jw)
                     elif cfg.screening_fft_mxu:
-                        from ..ops.fft_screening import (
-                            induced_vector_potential_mxu,
-                        )
+                        from ..ops import fft_screening as fs
 
-                        A_new = induced_vector_potential_mxu(
-                            fft_data, sten, Jw,
-                            bf16=cfg.screening_dft_bf16,
-                        )
+                        if cfg.screening_site_eval:
+                            A_new = fs.induced_vector_potential_mxu_site(
+                                fft_data, sten, Jw,
+                                cfg.screening_site_taps,
+                                bf16=cfg.screening_dft_bf16,
+                            )
+                        else:
+                            A_new = fs.induced_vector_potential_mxu(
+                                fft_data, sten, Jw,
+                                bf16=cfg.screening_dft_bf16,
+                            )
                     else:
-                        from ..ops.fft_screening import (
-                            induced_vector_potential_fft,
-                        )
+                        from ..ops import fft_screening as fs
 
-                        A_new = induced_vector_potential_fft(
-                            fft_data, sten, Jw
-                        )
+                        if cfg.screening_site_eval:
+                            A_new = fs.induced_vector_potential_fft_site(
+                                fft_data, sten, Jw,
+                                cfg.screening_site_taps,
+                            )
+                        else:
+                            A_new = fs.induced_vector_potential_fft(
+                                fft_data, sten, Jw
+                            )
                 else:
                     far = 1e6 * (1.0 - sten.valid.astype(rdtype))
                     sites_xy = jnp.stack(

@@ -177,6 +177,18 @@ class SolverOptions:
     # screening_cg_iterations at float64 (parity runs keep the deep
     # count).
     screening_fast_iterations: Optional[int] = None
+    # Evaluate the screening convolution at the lattice SITES with a
+    # single moment-matched kernel (self term calibrated so a locally
+    # constant current reproduces the exact edge-evaluated sums) and
+    # interpolate to the 3 edge classes, instead of convolving each edge
+    # class exactly: ~half the arithmetic, 1/3 of the inverse-transform
+    # batch and intermediates. The residual is an O(h^2) discretization
+    # difference of the same order as the float32 screening precision
+    # floor (measured; docs/perf_notes.md). None = auto: enabled inside
+    # the gated FAST chunk program at float32 (the robust rewind program
+    # keeps the exact per-class convolution), disabled elsewhere.
+    # True/False force it for BOTH programs (True also on float64).
+    screening_site_eval: Optional[bool] = None
     # Fixed-point accelerator for the screening iteration: "anderson"
     # (depth-1 Anderson/secant acceleration — converges in ~10-15 iterations
     # where the reference's fixed-coefficient Polyak scheme crawls at

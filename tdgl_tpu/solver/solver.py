@@ -454,14 +454,29 @@ class TDGLSolver:
                 self.maps.site_to_grid(weights.astype(self.rdtype))
             )
             fft_data = None
+            self._site_taps = None
             if options.include_screening and screening_kernel in ("fft",
                                                                   "mxu"):
-                from ..ops.fft_screening import build_fft_screening
+                from ..ops.fft_screening import (
+                    build_fft_screening,
+                    build_site_interp_taps,
+                )
 
                 fft_data = build_fft_screening(
                     host_sten, self.maps, mesh.grid, dtype=self.rdtype,
                     with_dft=(screening_kernel == "mxu"),
                 )
+                self._site_taps = build_site_interp_taps(
+                    host_sten, self.maps, mesh.grid
+                )
+                if (options.screening_site_eval is True
+                        and self._site_taps is None):
+                    raise SolverOptionsError(
+                        "screening_site_eval=True but the mesh's valid"
+                        " region sits too close to the padded-grid"
+                        " boundary for the interpolation/correction"
+                        " rolls to be wrap-safe on this mesh."
+                    )
             self._screening_weights = (weights, fft_data)
         else:
             self._screening_weights = self._put(
@@ -633,6 +648,11 @@ class TDGLSolver:
             # "auto" resolves to "high" here (the robust program); the
             # fast chunk program flips to single-pass bf16 below.
             screening_dft_bf16=(options.screening_dft_precision == "bf16"),
+            # Auto resolves to False here (the robust program evaluates
+            # the exact per-edge-class convolution); the fast chunk
+            # program flips to the site-evaluated kernel below.
+            screening_site_eval=(options.screening_site_eval is True),
+            screening_site_taps=getattr(self, "_site_taps", None),
             screening_anderson=(options.screening_solver == "anderson"),
             screening_cg_iters=(
                 int(options.screening_cg_iterations)
@@ -767,6 +787,11 @@ class TDGLSolver:
                             and self.cfg.screening_fft_mxu
                             and options.dtype == "float32"):
                         fast_over["screening_dft_bf16"] = True
+                    if (options.screening_site_eval is None
+                            and self.cfg.screening_use_fft
+                            and self.cfg.screening_site_taps is not None
+                            and options.dtype == "float32"):
+                        fast_over["screening_site_eval"] = True
                 self._fast_cfg = dataclasses.replace(
                     self.cfg, fast_chunk=True,
                     poisson_fail_gate=10.0 * float(

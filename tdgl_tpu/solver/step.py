@@ -165,6 +165,21 @@ class StepConfig:
     # screening envelope) instead of bf16x3. Opt-in speed/precision trade;
     # see SolverOptions.screening_dft_precision.
     screening_dft_bf16: bool = False
+    # Evaluate the screening convolution at the lattice SITES with a
+    # single moment-matched kernel and interpolate to the 3 edge classes
+    # (ops.fft_screening.induced_vector_potential_*_site): ~half the
+    # arithmetic and 1/3 the intermediates of the exact per-edge-class
+    # convolution, for an O(h^2) discretization difference of the same
+    # order as the f32 screening floor. See
+    # SolverOptions.screening_site_eval.
+    screening_site_eval: bool = False
+    # Static per-class near-field correction stencils for the site path
+    # (ops.fft_screening.build_site_interp_taps): a hashable tuple of
+    # ((dr, dc), value) taps per edge class, baked into the compiled
+    # chunk (roll offsets must be trace-time constants). None when the
+    # mesh margins make the tap rolls wrap-unsafe — site evaluation is
+    # then unavailable.
+    screening_site_taps: Optional[tuple] = None
     # CG iterations per mu solve inside the screening fixed point (fixed
     # count -> smooth map; see ``observables``).
     screening_cg_iters: int = 32

@@ -117,9 +117,15 @@ def test_failover_screened_auto_fast_config():
     assert fast_cfg.scan_unroll == 2
     assert fast_cfg.screening_cg_iters == 3
     assert fast_cfg.screening_dft_bf16 == bool(fast_cfg.screening_fft_mxu)
-    # Robust program untouched: deep inner count, exact operands.
+    # Site-evaluated interpolated convolution in the fast program only
+    # (with its static near-field correction stencils baked in).
+    assert fast_cfg.screening_site_eval
+    assert len(fast_cfg.screening_site_taps) == 3
+    # Robust program untouched: deep inner count, exact operands and
+    # exact per-edge-class convolution.
     assert s_fast.cfg.screening_cg_iters == 5
     assert not s_fast.cfg.screening_dft_bf16
+    assert not s_fast.cfg.screening_site_eval
     a = np.abs(np.asarray(sol_fast.tdgl_data.psi))
     b = np.abs(np.asarray(sol_rob.tdgl_data.psi))
     assert float(np.max(np.abs(a - b))) < 1e-2

@@ -497,6 +497,64 @@ def test_mxu_dft_screening_parity():
     assert float(jnp.abs(A_bf16 - A_fft).max()) / scale < 2e-3
 
 
+def test_site_eval_screening_accuracy():
+    """The site-evaluated interpolated convolution (the fast chunk
+    program's auto default at f32): (a) MXU and FFT site variants are
+    exact-arithmetic identical, (b) for a smooth current the residual vs
+    the exact per-edge-class convolution sits at the float32 screening
+    precision floor (~3e-4; docs/perf_notes.md), (c) a locally constant
+    current is reproduced to the same order (moment matching)."""
+    import jax.numpy as jnp
+
+    import tdgl_tpu as tdgl
+    from tdgl_tpu.geometry import box
+    from tdgl_tpu.ops.fft_screening import (
+        build_fft_screening,
+        build_site_interp_taps,
+        induced_vector_potential_fft,
+        induced_vector_potential_fft_site,
+        induced_vector_potential_mxu_site,
+    )
+    from tdgl_tpu.solver.solver import TDGLSolver
+
+    layer = tdgl.Layer(coherence_length=1.0, london_lambda=2.0,
+                       thickness=0.1)
+    film = tdgl.Polygon("film", points=box(10)).resample(100)
+    device = tdgl.Device("site", layer=layer, film=film, length_units="um")
+    device.make_mesh(min_points=2000, structured=True)
+    options = tdgl.SolverOptions(
+        solve_time=1.0, include_screening=True,
+        field_units="mT", current_units="uA",
+    )
+    solver = TDGLSolver(device, options, applied_vector_potential=0.5)
+    fftd = build_fft_screening(solver.host_sten, solver.maps,
+                               device.mesh.grid)
+    taps = build_site_interp_taps(solver.host_sten, solver.maps,
+                                  device.mesh.grid)
+    assert taps is not None and len(taps) == 3
+    valid = np.asarray(solver.host_sten.valid)
+    Rp, Cp = solver.maps.shape
+    yy, xx = np.mgrid[0:Rp, 0:Cp]
+    J = np.stack(
+        [np.sin(2 * np.pi * xx / Cp) * np.cos(2 * np.pi * yy / Rp),
+         np.cos(4 * np.pi * xx / Cp) * np.sin(2 * np.pi * yy / Rp)], -1)
+    Jw = jnp.asarray((J * valid[..., None]).astype(np.float32))
+    A_exact = induced_vector_potential_fft(fftd, solver.sten, Jw)
+    A_site = induced_vector_potential_fft_site(fftd, solver.sten, Jw, taps)
+    A_msite = induced_vector_potential_mxu_site(fftd, solver.sten, Jw,
+                                                taps)
+    scale = float(jnp.abs(A_exact).max())
+    assert float(jnp.abs(A_site - A_exact).max()) / scale < 1e-3
+    assert float(jnp.abs(A_msite - A_site).max()) / scale < 1e-5
+    Jc = jnp.asarray((np.ones((Rp, Cp, 2)) * valid[..., None])
+                     .astype(np.float32))
+    Ac_exact = induced_vector_potential_fft(fftd, solver.sten, Jc)
+    Ac_site = induced_vector_potential_fft_site(fftd, solver.sten, Jc,
+                                                taps)
+    sc = float(jnp.abs(Ac_exact).max())
+    assert float(jnp.abs(Ac_site - Ac_exact).max()) / sc < 1e-3
+
+
 def test_folded_link_weights_trajectory_parity():
     """fold_link_weights (the f32 auto default) tracks the unfolded
     formulation to f32 rounding over a chunked trajectory, and bf16 link

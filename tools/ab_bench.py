@@ -14,11 +14,11 @@ Usage:
     python tools/ab_bench.py --sites 50000 \
         --variants robust_u1,robust_u2,fast_u1,fast_u2,fast_u3
 
-Variant grammar: {robust|fast}_u{N}[_i{M}][_bf16] — robust/fast selects
-StepConfig.fast_chunk, N the scan unroll, M (screened) the inner
-fixed-iteration count, bf16 the single-pass DFT operands. Screened
-variants via --screened (then fast = single inline screening
-iteration).
+Variant grammar: {robust|fast}_u{N}[_i{M}][_bf16][_site] — robust/fast
+selects StepConfig.fast_chunk, N the scan unroll, M (screened) the
+inner fixed-iteration count, bf16 the single-pass DFT operands, site
+the site-evaluated interpolated convolution. Screened variants via
+--screened (then fast = single inline screening iteration).
 
 Prints one JSON line per variant: {"variant":..., "steps_per_sec":...}.
 """
@@ -80,6 +80,8 @@ def main():
                 extra["screening_cg_iters"] = int(p[1:])
             elif p == "bf16":
                 extra["screening_dft_bf16"] = True
+            elif p == "site":
+                extra["screening_site_eval"] = True
         cfg = dataclasses.replace(
             solver.cfg, fast_chunk=fast, scan_unroll=unroll,
             poisson_fail_gate=(10.0 * solver.cfg.poisson_tolerance
