@@ -243,7 +243,11 @@ def measure_screened(target_sites: int, attempts: int):
     from tdgl_tpu.solver.solver import TDGLSolver
 
     notes = []
-    chunk_s = min(CHUNK, 2000)  # ~2 ms/step: keep dispatches ~4 s
+    # ~0.3 ms/step at the round-5 screened rate: 4000-step chunks keep
+    # device execution ~1.2 s/dispatch (same envelope as the unscreened
+    # 16k chunks) while halving the ~35-70 ms/chunk dispatch overhead
+    # that 2000-step chunks paid (~11% of screened step time).
+    chunk_s = min(CHUNK, 4000)
     device = build_device(target_sites)
     n_sites = len(device.mesh.sites)
     inner = os.environ.get("TDGL_BENCH_SCREEN_INNER")
@@ -285,7 +289,8 @@ def measure_screened(target_sites: int, attempts: int):
         notes.append(
             f"fast: unroll={fast_cfg.scan_unroll}"
             f" inner_iters={fast_cfg.screening_cg_iters}"
-            f" dft_bf16={fast_cfg.screening_dft_bf16}")
+            f" dft_bf16={fast_cfg.screening_dft_bf16}"
+            f" site_eval={fast_cfg.screening_site_eval}")
 
     import jax
 

@@ -133,8 +133,12 @@ class FactoredLinkPhases(NamedTuple):
     update reads the 3 raw weight planes and the supercurrent none. The
     solver enables this automatically when a float64 separability check
     of the static applied potential passes (see
-    ``TDGLSolver``/``grid_step``); reconstruction agrees with the direct
-    ``cos``/``sin`` evaluation to ~1 ulp of the working dtype.
+    ``TDGLSolver``/``grid_step``). Accuracy (measured on TPU at bench
+    scale, ``tools/roll_parity_probe.py``, f64 referee on real edges):
+    the reconstruction carries the f32 rounding of the SPLIT angles
+    (~(|f|+|g|) ulp radians — a few 1e-6 at unit scale for the bench
+    field) vs ~|a| ulp for the direct evaluation — both at the f32
+    angle-rounding floor, NOT bit-identical to each other.
     """
 
     cf: jax.Array  # (3, Rp) — cos f_k(r)

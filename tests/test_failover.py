@@ -92,7 +92,7 @@ def test_failover_screened_bitwise_vs_robust():
     screened trajectory is IDENTICAL to chunk_failover='off'."""
     kw = dict(include_screening=True, screening_tolerance=1e-2,
               screening_fast_iterations=5, scan_unroll=1,
-              screening_dft_precision="high")
+              screening_dft_precision="high", screening_site_eval=False)
     s_fast, sol_fast = _solve("float32", "auto", **kw)
     s_rob, sol_rob = _solve("float32", "off", **kw)
     assert hasattr(s_fast, "_fast_chunk_fn")

@@ -11,10 +11,14 @@ alternative formulations of the same (N, K) neighbor gather:
   take1d     — per-slot 1D gathers x[nbr[:, k]] stacked (K small gathers)
   chunked    — row-blocked gathers via lax.map (bounded gather size)
   segment    — COO edge formulation with segment_sum scatter-add
-  cgather    — complex64 x[nbr] (the real step gathers complex psi/U)
+  cgather    — complex64 x[nbr] (complex dtype: known-broken baseline)
   csplit     — split-complex: two f32 gathers re/im, combined after
   cedge      — complex64 1D edge-endpoint gathers psi[e0], psi[e1]
   cesplit    — split-complex 1D edge-endpoint gathers
+  pair2d     — x[(N,2) pair][nbr] -> (N,K,2): the PRODUCTION psi/U
+               neighbor gather layout (gtdgl.covariant_laplacian)
+  pairedge   — (N,2) pair edge-endpoint gathers x[e0], x[e1] + scatter
+               .at[e0].add: the PRODUCTION supercurrent/divergence shape
 
 Each variant runs in ITS OWN SUBPROCESS (a fault wedges the process's
 TPU session) over a ladder of sizes, with the execution-proven timing
@@ -54,6 +58,9 @@ def _child(variant: str, n: int) -> None:
     complex_in = variant in ("cgather", "csplit", "cedge", "cesplit")
     if complex_in:
         x0 = (x0 + 1j * rng.random(n)).astype(np.complex64)
+    pair_in = variant in ("pair2d", "pairedge")
+    if pair_in:
+        x0 = rng.random((n, 2)).astype(np.float32)
     # Edge-endpoint tables for the 1D-edge variants (E ~ 3N like a
     # triangulation's psi[e0]/psi[e1] gathers in supercurrent_on_edges).
     e0_d = jnp.asarray(rng.integers(0, n, size=3 * n).astype(np.int32))
@@ -110,6 +117,15 @@ def _child(variant: str, n: int) -> None:
             zr = jnp.zeros(n, yr.dtype).at[e0_d].add(yr)
             zi = jnp.zeros(n, yr.dtype).at[e0_d].add(yi)
             return jax.lax.complex(zr, zi)
+        if variant == "pair2d":
+            g = x[nbr_d]                       # (n, K, 2) paired gather
+            return jnp.sum(w_d[..., None] * g, axis=1)
+        if variant == "pairedge":
+            a, b = x[e0_d], x[e1_d]            # (3n, 2) paired gathers
+            yr = a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1]
+            yi = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+            y = jnp.stack([yr, yi], axis=-1)
+            return jnp.zeros((n, 2), x.dtype).at[e0_d].add(y)
         raise ValueError(variant)
 
     def body(carry, _):
