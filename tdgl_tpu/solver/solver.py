@@ -358,10 +358,11 @@ class TDGLSolver:
                 " device.make_mesh(structured=True) or use"
                 " poisson_solver='cg'."
             )
-        # TPU-scale fence for the unstructured (gather) backend: large ELL
-        # programs reproducibly fault the TPU runtime (~50k sites; see
+        # Performance router for the unstructured (gather) backend: large
+        # ELL programs run cleanly on TPU but gather-bound, measured ~3.6x
+        # slower than the host CPU at 50k sites (see
         # SolverOptions.unstructured_tpu_site_limit), so route them to the
-        # host CPU loudly instead of letting the device crash mid-run.
+        # host CPU loudly.
         self._exec_device = self._select_exec_device(
             structured=self.structured, n_sites=len(mesh.sites),
             backend=jax.default_backend(), options=options, logger=logger,
@@ -901,12 +902,16 @@ class TDGLSolver:
                             options: SolverOptions, logger=None):
         """Decide where the solve executes (None = jax default device).
 
-        The gather-based ELL backend is fenced on accelerators above
-        ``options.unstructured_tpu_site_limit`` sites: the measured TPU
-        runtime behavior is a reproducible kernel fault at ~50k sites (and
-        ~1000x-slower-than-stencil gathers below that), so large
-        unstructured problems run on the host CPU with a warning. Raises
-        RuntimeError if no CPU device exists to route to.
+        The gather-based ELL backend is routed off accelerators above
+        ``options.unstructured_tpu_site_limit`` sites as a measured
+        performance choice: the full production ELL solve at 50k sites
+        runs cleanly on TPU (round-5 re-measurement,
+        ``tools/unstructured_solve_probe.py`` — the round-2 kernel fault
+        is gone from the current runtime) but gather-bound at 9.0
+        steps/s, vs 32.4 steps/s for the same workload on the host CPU,
+        so large unstructured problems run on the host with a warning.
+        If no CPU device exists, the solve stays on the accelerator
+        (slow but correct) with a warning.
         """
         limit = options.unstructured_tpu_site_limit
         if structured or limit is None or backend == "cpu":
@@ -918,22 +923,27 @@ class TDGLSolver:
         except RuntimeError:
             cpu = None
         if cpu is None:
-            raise RuntimeError(
-                f"The unstructured (ELL) solver backend with {n_sites} mesh"
-                f" sites exceeds unstructured_tpu_site_limit={limit} on"
-                f" backend {backend!r} (large gather programs fault the TPU"
-                " runtime), and no host CPU device is available to route"
-                " to. Use a structured mesh"
-                " (device.make_mesh(structured=True)) for TPU execution at"
-                " this scale."
-            )
+            if logger is not None:
+                logger.warning(
+                    "Unstructured (ELL) mesh with %d sites exceeds"
+                    " unstructured_tpu_site_limit=%d, but no host CPU"
+                    " device is available to route to: running on %r"
+                    " (works, but gather-bound — measured ~3.6x slower"
+                    " than the host at 50k sites). Use"
+                    " device.make_mesh(structured=True) for the fast TPU"
+                    " (stencil) path at this scale.",
+                    n_sites, limit, backend,
+                )
+            return None
         if logger is not None:
             logger.warning(
-                "Unstructured (ELL) mesh with %d sites exceeds the TPU"
-                " fence (unstructured_tpu_site_limit=%d): running this"
-                " solve on the host CPU. Use"
+                "Unstructured (ELL) mesh with %d sites exceeds the"
+                " accelerator routing limit"
+                " (unstructured_tpu_site_limit=%d): running this solve on"
+                " the host CPU (measured ~3.6x faster than the"
+                " gather-bound TPU ELL path at 50k sites). Use"
                 " device.make_mesh(structured=True) for the fast TPU"
-                " (stencil) path, or raise/disable the limit to force"
+                " (stencil) path, or set the limit to None to force"
                 " accelerator execution.", n_sites, limit,
             )
         return cpu

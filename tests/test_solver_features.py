@@ -228,7 +228,9 @@ def test_structured_mesh_rejects_unstructured_kwargs():
 
 def test_ell_tpu_fence_decision():
     """The ELL fence routes oversized unstructured meshes away from
-    accelerators (documented fault threshold) and leaves everything else
+    accelerators (a measured performance choice: the TPU ELL path runs
+    but is gather-bound ~3.6x slower than the host at 50k sites —
+    tools/unstructured_solve_probe.py) and leaves everything else
     alone."""
     from tdgl_tpu.solver.solver import TDGLSolver
 
