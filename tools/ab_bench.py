@@ -14,10 +14,12 @@ Usage:
     python tools/ab_bench.py --sites 50000 \
         --variants robust_u1,robust_u2,fast_u1,fast_u2,fast_u3
 
-Variant grammar: {robust|fast}_u{N}[_i{M}][_bf16][_site] — robust/fast
-selects StepConfig.fast_chunk, N the scan unroll, M (screened) the
-inner fixed-iteration count, bf16 the single-pass DFT operands, site
-the site-evaluated interpolated convolution. Screened variants via
+Variant grammar: {robust|fast}_u{N}[_cg{K}][_pred][_i{M}][_bf16][_site]
+— robust/fast selects StepConfig.fast_chunk, N the scan unroll, K the
+fixed mu-CG iteration count (fast program: gated, rewind on residual
+failure), pred the extrapolated mu warm start, M (screened) the inner
+fixed-iteration count, bf16 the single-pass DFT operands, site the
+site-evaluated interpolated convolution. Screened variants via
 --screened (then fast = single inline screening iteration).
 
 Prints one JSON line per variant: {"variant":..., "steps_per_sec":...}.
@@ -76,7 +78,11 @@ def main():
         unroll = int(parts[1][1:])
         extra = {}
         for p in parts[2:]:
-            if p.startswith("i"):
+            if p.startswith("cg"):
+                extra["poisson_fixed_iters"] = int(p[2:])
+            elif p == "pred":
+                extra["poisson_predictor"] = True
+            elif p.startswith("i"):
                 extra["screening_cg_iters"] = int(p[1:])
             elif p == "bf16":
                 extra["screening_dft_bf16"] = True
