@@ -776,6 +776,7 @@ class TDGLSolver:
                 # mu-residual gates rewinds to the robust program
                 # (screening_cg_iterations deep, "high" DFT operands).
                 fast_over = {}
+                fail_gate = 10.0 * float(self.cfg.poisson_tolerance)
                 if self.cfg.include_screening:
                     if options.scan_unroll is None:
                         fast_over["scan_unroll"] = 2
@@ -793,10 +794,27 @@ class TDGLSolver:
                             and self.cfg.screening_site_taps is not None
                             and options.dtype == "float32"):
                         fast_over["screening_site_eval"] = True
+                elif (options.poisson_fixed_iterations is None
+                        and options.poisson_tolerance is None
+                        and self.cfg.poisson_fixed_iters == 2):
+                    # Gated fixed-1 mu solve (round 5, unscreened auto
+                    # f32 structured path only): ONE MG-CG iteration per
+                    # step committed iff the residual holds a 1e-2 fail
+                    # gate; trips rewind the chunk to the robust program
+                    # (fixed-2 + tolerance-stopped top-up at 1e-4).
+                    # Measured within-process at the 50k benchmark:
+                    # 14,140 vs 8,074 steps/s (+75%); physics validated
+                    # by the extended tolerance ladder (psi/mu errors vs
+                    # f64 flat through tolerance-stopped 1e-2 on both
+                    # transport and vortex workloads) and the fixed-1
+                    # trajectory row (tools/tol_study.py,
+                    # docs/validation.md). Explicit poisson_tolerance or
+                    # poisson_fixed_iterations disables the override.
+                    fast_over["poisson_fixed_iters"] = 1
+                    fail_gate = 1e-2
                 self._fast_cfg = dataclasses.replace(
                     self.cfg, fast_chunk=True,
-                    poisson_fail_gate=10.0 * float(
-                        self.cfg.poisson_tolerance),
+                    poisson_fail_gate=fail_gate,
                     **fast_over,
                 )
                 self._fast_chunk_fn = make_grid_chunk_fn(self._fast_cfg,

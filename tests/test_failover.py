@@ -164,7 +164,18 @@ def test_scan_unroll_trajectory_invariant():
 
 
 def test_fast_cfg_gate_value():
+    # Unscreened auto f32: the fast program runs the gated fixed-1 mu
+    # solve with the validated 1e-2 fail gate (round 5; the robust
+    # rewind program keeps fixed-2 + top-up at the 1e-4 auto tolerance).
     s, _ = _solve("float32", "auto")
     assert s._fast_cfg.fast_chunk
-    assert s._fast_cfg.poisson_fail_gate == pytest.approx(
-        10.0 * s.cfg.poisson_tolerance)
+    assert s._fast_cfg.poisson_fixed_iters == 1
+    assert s.cfg.poisson_fixed_iters == 2
+    assert s._fast_cfg.poisson_fail_gate == pytest.approx(1e-2)
+    # An explicit tolerance opts out of the fixed-1 override: the gate
+    # follows 10x the requested tolerance and the fixed count is the
+    # auto fixed-2.
+    s2, _ = _solve("float32", "auto", poisson_tolerance=1e-4)
+    assert s2._fast_cfg.poisson_fixed_iters == 2
+    assert s2._fast_cfg.poisson_fail_gate == pytest.approx(
+        10.0 * s2.cfg.poisson_tolerance)

@@ -80,6 +80,8 @@ def main():
         for p in parts[2:]:
             if p.startswith("cg"):
                 extra["poisson_fixed_iters"] = int(p[2:])
+            elif p.startswith("tol"):
+                extra["poisson_tolerance"] = float(p[3:])
             elif p == "pred":
                 extra["poisson_predictor"] = True
             elif p.startswith("i"):
@@ -88,10 +90,10 @@ def main():
                 extra["screening_dft_bf16"] = True
             elif p == "site":
                 extra["screening_site_eval"] = True
+        ptol = extra.get("poisson_tolerance", solver.cfg.poisson_tolerance)
         cfg = dataclasses.replace(
             solver.cfg, fast_chunk=fast, scan_unroll=unroll,
-            poisson_fail_gate=(10.0 * solver.cfg.poisson_tolerance
-                               if fast else 0.0),
+            poisson_fail_gate=(10.0 * ptol if fast else 0.0),
             **extra,
         )
         fns[name] = make_grid_chunk_fn(cfg, chunk)

@@ -70,18 +70,28 @@ def build_vortex(sites):
     return device, dict(applied_vector_potential=0.5)
 
 
-def run(device, solver_kwargs, *, dtype, tol, steps, chunk, dt):
+def run(device, solver_kwargs, *, dtype, tol, steps, chunk, dt,
+        fixed1=False):
     import jax
 
     import tdgl_tpu as tdgl
     from tdgl_tpu.solver.solver import TDGLSolver
     from tdgl_tpu.utils.jaxio import to_numpy
 
+    extra = {}
+    if fixed1:
+        # The gated fixed-1 fast program: ONE MG-CG iteration per step,
+        # committed iff the residual holds the 10x-tolerance fail gate
+        # (1e-2 at tol=1e-3); gate trips rewind the chunk to the robust
+        # (fixed+top-up) program. This is the exact configuration of the
+        # round-5 fast-program candidate measured at 14.1k steps/s
+        # on-chip (docs/perf_notes.md).
+        extra.update(poisson_fixed_iterations=1, chunk_failover="auto")
     options = tdgl.SolverOptions(
         solve_time=1e9, dt_init=dt, adaptive=False,
         save_every=chunk, steps_per_chunk=chunk,
         field_units="mT", current_units="uA", dtype=dtype,
-        poisson_tolerance=tol,
+        poisson_tolerance=tol, **extra,
     )
     solver = TDGLSolver(device, options, **solver_kwargs)
     state = solver._initial_state()
@@ -117,7 +127,7 @@ def main():
         psi_scale = max(float(np.abs(ref_psi_r).max()),
                         float(np.abs(ref_psi_i).max()), 1e-30)
         mu_scale = max(float(np.abs(ref_mu).max()), 1e-30)
-        for tol in (3e-6, 3e-5, 1e-4, 3e-4, 1e-3):
+        for tol in (3e-6, 3e-5, 1e-4, 3e-4, 1e-3, 3e-3, 1e-2):
             pr, pi, mu, solver = run(
                 device, kwargs, dtype="float32", tol=tol,
                 steps=args.steps, chunk=chunk, dt=dt)
@@ -130,6 +140,23 @@ def main():
                 mu_scale=mu_scale,
             )
             print(json.dumps(row), flush=True)
+        # The gated fixed-1 fast program at tol=1e-3 (fail gate 1e-2):
+        # the round-5 throughput candidate. Committed-step residuals are
+        # bounded by the gate, so together with the tolerance-stopped
+        # 3e-3/1e-2 rows above this brackets its physics.
+        pr, pi, mu, solver = run(
+            device, kwargs, dtype="float32", tol=1e-3,
+            steps=args.steps, chunk=chunk, dt=dt, fixed1=True)
+        row = dict(
+            workload=workload,
+            tol="fixed1_gate1e-2",
+            failovers=getattr(solver, "_failover_count", None),
+            psi_err=float(max(np.abs(pr - ref_psi_r).max(),
+                              np.abs(pi - ref_psi_i).max())) / psi_scale,
+            mu_err=float(np.abs(mu - ref_mu).max()) / mu_scale,
+            mu_scale=mu_scale,
+        )
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
