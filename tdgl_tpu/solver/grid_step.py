@@ -419,7 +419,14 @@ def make_grid_step_fn(cfg: StepConfig):
             # 2x the CG precision floor: the gate flags gross failure,
             # not precision-edge flutter (tolerance-stopped CG itself clamps
             # at 50 eps, so a healthy solve can sit right at that floor).
-            res_allowed = max(cfg.poisson_tolerance,
+            # The fast program gates at poisson_fail_gate with chunk
+            # rewind — the same semantics as the unscreened branch (the
+            # screening-tolerance gate above still protects the fixed
+            # point's own convergence independently).
+            mu_gate = (cfg.poisson_fail_gate
+                       if cfg.fast_chunk and cfg.poisson_fail_gate > 0
+                       else cfg.poisson_tolerance)
+            res_allowed = max(mu_gate,
                               100.0 * float(jnp.finfo(rdtype).eps))
             fail = jnp.logical_or(fail, cg_res > res_allowed)
             screening_iters = s
