@@ -131,6 +131,45 @@ def test_failover_screened_auto_fast_config():
     assert float(np.max(np.abs(a - b))) < 1e-2
 
 
+def test_screened_fast_mu_gate_follows_fail_gate():
+    """The screened fast program gates its mu residual at
+    ``poisson_fail_gate`` (chunk-rewind semantics, mirroring the
+    unscreened branch) — NOT at ``poisson_tolerance``. Discriminating
+    construction at f64 (residual floors ~1e-14): a fixed-1 mu solve
+    against an absurd 1e-12 tolerance leaves a residual far above
+    tolerance, so the old tolerance-pinned gate would flag every step;
+    a loose fail gate must accept the chunk, and a fail gate below the
+    achievable residual must flag it."""
+    import jax.numpy as jnp
+
+    kw = dict(include_screening=True, screening_tolerance=1e-2,
+              screening_fast_iterations=5, scan_unroll=1,
+              screening_dft_precision="high", screening_site_eval=False)
+    s, _ = _solve("float64", "auto", **kw)
+    from tdgl_tpu.solver.grid_step import make_grid_chunk_fn
+
+    state = s._initial_state()._replace(
+        end_time=jnp.asarray(1e9, s.rdtype))
+    for _ in range(3):
+        state, _, _ = s.chunk_fn(state)
+
+    def run_gate(fail_gate):
+        cfg = dataclasses.replace(
+            s._fast_cfg, poisson_fixed_iters=1,
+            poisson_tolerance=1e-12, poisson_fail_gate=fail_gate,
+        )
+        fn = make_grid_chunk_fn(cfg, s.chunk_size)
+        _, _, exported = fn(s.sten, s._screening_weights, s.amg, state)
+        return bool(to_numpy(exported["diagnostics"])[5])
+
+    # Loose gate: one V-cycle cannot reach 1e-12, but the fast program
+    # judges it against the fail gate, so the chunk commits cleanly.
+    assert not run_gate(1.0)
+    # A gate below the fixed-1 residual floor flags the chunk (the same
+    # plumbing that triggers the solver's rewind to the robust program).
+    assert run_gate(1e-13)
+
+
 def test_failover_on_requires_supported_mode():
     # The fast-chunk program exists only on the structured backend.
     layer = tdgl.Layer(coherence_length=0.5, london_lambda=2,
