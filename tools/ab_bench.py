@@ -15,12 +15,14 @@ Usage:
         --variants robust_u1,robust_u2,fast_u1,fast_u2,fast_u3
 
 Variant grammar: {robust|fast}_u{N}[_cg{K}][_pred][_i{M}][_bf16][_site]
-— robust/fast selects StepConfig.fast_chunk, N the scan unroll, K the
-fixed mu-CG iteration count (fast program: gated, rewind on residual
-failure), pred the extrapolated mu warm start, M (screened) the inner
-fixed-iteration count, bf16 the single-pass DFT operands, site the
-site-evaluated interpolated convolution. Screened variants via
---screened (then fast = single inline screening iteration).
+[_c{S}] — robust/fast selects StepConfig.fast_chunk, N the scan unroll,
+K the fixed mu-CG iteration count (fast program: gated, rewind on
+residual failure), pred the extrapolated mu warm start, M (screened)
+the inner fixed-iteration count, bf16 the single-pass DFT operands,
+site the site-evaluated interpolated convolution, S a per-variant
+steps-per-chunk override (dispatch-overhead A/B: same timed step count,
+different dispatch granularity). Screened variants via --screened
+(then fast = single inline screening iteration).
 
 Prints one JSON line per variant: {"variant":..., "steps_per_sec":...}.
 """
@@ -77,6 +79,7 @@ def main():
         fast = parts[0] == "fast"
         unroll = int(parts[1][1:])
         extra = {}
+        v_chunk = chunk
         for p in parts[2:]:
             if p.startswith("cg"):
                 extra["poisson_fixed_iters"] = int(p[2:])
@@ -90,13 +93,15 @@ def main():
                 extra["screening_dft_bf16"] = True
             elif p == "site":
                 extra["screening_site_eval"] = True
+            elif p.startswith("c"):
+                v_chunk = int(p[1:])
         ptol = extra.get("poisson_tolerance", solver.cfg.poisson_tolerance)
         cfg = dataclasses.replace(
             solver.cfg, fast_chunk=fast, scan_unroll=unroll,
             poisson_fail_gate=(10.0 * ptol if fast else 0.0),
             **extra,
         )
-        fns[name] = make_grid_chunk_fn(cfg, chunk)
+        fns[name] = (make_grid_chunk_fn(cfg, v_chunk), v_chunk)
 
     def run(fn, state, n_chunks):
         for _ in range(n_chunks):
@@ -115,14 +120,19 @@ def main():
           file=sys.stderr)
     state_w = state
 
-    n_chunks = max(1, args.timed_steps // chunk)
-    steps = n_chunks * chunk
+    # Per-variant chunk counts sized so every variant times the same
+    # number of steps (up to divisibility).
+    plan = {
+        name: (fn, v_chunk, max(1, args.timed_steps // v_chunk))
+        for name, (fn, v_chunk) in fns.items()
+    }
     times = {name: [] for name in fns}
     failed = {}
     for rep in range(args.reps):
-        for name, fn in fns.items():
+        for name, (fn, v_chunk, n_chunks) in plan.items():
             if name in failed:
                 continue
+            steps = n_chunks * v_chunk
             t0 = time.perf_counter()
             try:
                 end, exported = run(fn, state_w, n_chunks)
@@ -139,10 +149,11 @@ def main():
             times[name].append(dt)
             print(f"# rep {rep} {name}: {dt:.2f}s", file=sys.stderr)
 
-    for name in fns:
+    for name, (fn, v_chunk, n_chunks) in plan.items():
         if name in failed:
             print(json.dumps({"variant": name, "error": failed[name]}))
             continue
+        steps = n_chunks * v_chunk
         med = sorted(times[name])[len(times[name]) // 2]
         print(json.dumps({
             "variant": name,
